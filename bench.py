@@ -1,0 +1,78 @@
+"""Headline benchmark: rays/sec/chip on the 1024-spp Cornell box.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares camera-path throughput against the reference's only
+derivable number (BASELINE.md): the DiffuseRoom 13-minute render on a
+GTX-10xx implies ~54M camera paths/s; rays/s is measured directly by
+instrumented counting (closest-hit + shadow traversals, the reference's
+HOT LOOP #1/#2, SURVEY.md §3.4).
+
+Env overrides for quick local runs: BENCH_W, BENCH_H, BENCH_SPP.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_PATHS_PER_SEC = 54e6  # BASELINE.md derived ballpark (13-min DiffuseRoom)
+
+
+def main():
+    from pathtrace_tpu.models import procedural
+    from pathtrace_tpu.integrator.render import render
+    from pathtrace_tpu.integrator.megakernel import trace_paths_stats
+    from pathtrace_tpu.integrator.config import IntegratorConfig
+    from pathtrace_tpu.parallel.mesh import _camera_rays
+    from pathtrace_tpu.utils import rng
+
+    w = int(os.environ.get("BENCH_W", 256))
+    h = int(os.environ.get("BENCH_H", 256))
+    spp = int(os.environ.get("BENCH_SPP", 1024))
+
+    scene = procedural.cornell_box_scene(include_spheres=True).with_bvh()
+    camera = procedural.default_camera(w, h)
+    cfg = IntegratorConfig()
+    key = rng.make_key(0)
+
+    # --- instrumented pass: average rays per camera path (spp-invariant)
+    org, dirs, ray_ids = _camera_rays(camera, 0, key)
+    stats_fn = jax.jit(lambda sc, o, d, ids: trace_paths_stats(
+        sc, o, d, ids, key, cfg))
+    _, nrays = stats_fn(scene, org, dirs, ray_ids)
+    rays_per_path = float(nrays) / (w * h)
+
+    # --- timed render (warmup compile, then measure)
+    spp_warm = 8
+    img = render(scene, camera, spp_warm, key, cfg)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    img = render(scene, camera, spp, key, cfg)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    paths = w * h * spp
+    paths_per_sec = paths / dt
+    rays_per_sec = paths_per_sec * rays_per_path
+
+    print(json.dumps({
+        "metric": "rays_per_sec_per_chip_cornell_1024spp",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(paths_per_sec / REF_PATHS_PER_SEC, 4),
+        "detail": {
+            "paths_per_sec": round(paths_per_sec, 1),
+            "rays_per_path": round(rays_per_path, 3),
+            "resolution": [w, h],
+            "spp": spp,
+            "seconds": round(dt, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

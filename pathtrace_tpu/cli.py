@@ -1,0 +1,159 @@
+"""Command-line harness: render / grad-check / bench subcommands.
+
+Replaces the reference's interactive GLFW viewer + 'P'-key render trigger
+(renderer.cpp:85-228, 284-289) with a headless CLI per the north star.
+
+    python -m pathtrace_tpu.cli render --preset cornell64 --out out.png
+    python -m pathtrace_tpu.cli grad-check --preset cornell64
+    python -m pathtrace_tpu.cli bench --preset cornell64 --spp 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_render(args) -> int:
+    from pathtrace_tpu.io import image as imageio
+    from pathtrace_tpu.io import checkpoint as ckpt
+    from pathtrace_tpu.integrator.render import render
+    from pathtrace_tpu.models.presets import build_preset_scene, get_preset
+    from pathtrace_tpu.models import procedural
+    from pathtrace_tpu.utils import rng
+    import jax.numpy as jnp
+    import numpy as np
+
+    preset = get_preset(args.preset)
+    scene = build_preset_scene(preset)
+    w = args.width or preset.width
+    h = args.height or preset.height
+    spp = args.spp or preset.spp
+    camera = procedural.default_camera(w, h)
+    passes = max(args.passes, 1)
+    spp_per_pass = max(spp // passes, 1)
+
+    start_pass = 0
+    accum = jnp.zeros((h, w, 3), jnp.float32)
+    if args.resume and args.checkpoint:
+        try:
+            state = ckpt.load_state(args.checkpoint)
+            accum = jnp.asarray(state["accum_image"])
+            start_pass = state["passes_done"]
+            print(f"[resume] at pass {start_pass}", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+
+    key = rng.make_key(args.seed)
+    for p in range(start_pass, passes):
+        t0 = time.perf_counter()
+        pass_key = rng.iter_key(key, 1000 + p)
+        accum = accum + render(scene, camera, spp_per_pass, pass_key,
+                               preset.cfg)
+        accum.block_until_ready()
+        dt = time.perf_counter() - t0
+        # per-pass telemetry like the reference (pathtracer.cu:243)
+        print(f"[pass {p}] {spp_per_pass}spp in {dt:.2f}s", file=sys.stderr)
+        if args.out:
+            imageio.write_png(args.out, accum / (p + 1))
+        if args.checkpoint:
+            ckpt.save_state(args.checkpoint, np.asarray(accum), p + 1,
+                            args.seed, spp_per_pass)
+    if args.out_npy:
+        imageio.write_npy(args.out_npy, accum / passes)
+    print(json.dumps({"passes": passes, "spp": spp_per_pass * passes,
+                      "resolution": [w, h]}))
+    return 0
+
+
+def cmd_grad_check(args) -> int:
+    import numpy as np
+    from pathtrace_tpu.diff import fd_material_grad, material_grads
+    from pathtrace_tpu.integrator.config import IntegratorConfig
+    from pathtrace_tpu.models.presets import build_preset_scene, get_preset
+    from pathtrace_tpu.models import procedural
+    from pathtrace_tpu.utils import rng
+
+    preset = get_preset(args.preset)
+    scene = build_preset_scene(preset)
+    camera = procedural.default_camera(args.width or 32, args.height or 32)
+    cfg = IntegratorConfig(rr_bounce=99)  # RR off for FD comparability
+    key = rng.make_key(args.seed)
+    spp = args.spp or 8
+
+    g_tri, g_sph, loss = material_grads(scene, camera, spp, key, cfg=cfg)
+    checks = []
+    light = int(np.asarray(scene.lights)[0])
+    for target, field, idx, h in [
+        ("tris", "albedo", (0, 0), 2e-2),
+        ("tris", "emittance", (light, 0), 5e-2),
+        ("tris", "roughness", (2,), 2e-2),
+        ("tris", "specular", (4, 0), 1e-2),
+    ]:
+        fd = fd_material_grad(scene, camera, spp, key, target, field, idx,
+                              h=h, cfg=cfg)
+        ad = float(np.asarray(getattr(g_tri, field))[idx])
+        rel = abs(ad - fd) / max(abs(fd), abs(ad), 1.0)
+        checks.append({"param": f"{field}{list(idx)}", "autodiff": ad,
+                       "fd": fd, "rel_err": rel})
+    max_rel = max(c["rel_err"] for c in checks)
+    print(json.dumps({"loss": float(loss), "max_rel_err": max_rel,
+                      "checks": checks, "pass": max_rel < 2e-2}, indent=2))
+    return 0 if max_rel < 2e-2 else 1
+
+
+def cmd_bench(args) -> int:
+    import os
+    if args.width:
+        os.environ["BENCH_W"] = str(args.width)
+    if args.height:
+        os.environ["BENCH_H"] = str(args.height)
+    if args.spp:
+        os.environ["BENCH_SPP"] = str(args.spp)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pathtrace_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="headless render to PNG/npy")
+    pr.add_argument("--preset", default="cornell64")
+    pr.add_argument("--width", type=int, default=0)
+    pr.add_argument("--height", type=int, default=0)
+    pr.add_argument("--spp", type=int, default=0)
+    pr.add_argument("--passes", type=int, default=1)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--out", default="result.png")
+    pr.add_argument("--out-npy", default="")
+    pr.add_argument("--checkpoint", default="")
+    pr.add_argument("--resume", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pg = sub.add_parser("grad-check", help="autodiff vs FD oracle")
+    pg.add_argument("--preset", default="cornell64")
+    pg.add_argument("--width", type=int, default=0)
+    pg.add_argument("--height", type=int, default=0)
+    pg.add_argument("--spp", type=int, default=0)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.set_defaults(fn=cmd_grad_check)
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--preset", default="cornell64")
+    pb.add_argument("--width", type=int, default=0)
+    pb.add_argument("--height", type=int, default=0)
+    pb.add_argument("--spp", type=int, default=0)
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,240 @@
+"""Batch "SIMT" path integrator: all rays advance through bounces in
+lockstep, dead lanes masked.
+
+This is the TPU-native restructuring of the reference's per-thread
+megakernel GetColor_iter (CudaUtil.cuh:193-382): instead of one CUDA thread
+looping over its private path, a whole ray batch moves through one
+`lax.scan` over bounce iterations, every step a dense VPU op. Estimator
+semantics are preserved exactly, quirks included:
+
+- additive NEE + emissive-hit every bounce, no MIS (CudaUtil.cuh:220-224 +
+  272 -> direct light double-counted; fidelity-critical bias, kept)
+- miss adds weight * (0.1, 0.1, 0.1) (CudaUtil.cuh:377)
+- weight *= eval / max(pdf, 1e-2) (CudaUtil.cuh:291 et al.)
+- zero sampled direction kills the path (CudaUtil.cuh:335-338)
+- refraction does not consume depth: Depth-- plus RefractCnt cap with the
+  pre-increment check `RefractCnt++ > 8` (CudaUtil.cuh:349-359)
+- the refraction flag is STICKY: it is only (re)assigned on transparent
+  hits (CudaUtil.cuh:307), so after a refraction every subsequent opaque
+  bounce also skips depth/RR until the refract cap trips. Faithfully kept.
+- Russian roulette from bounce 3: survive prob max(min(max(weight),1),0.5),
+  1/p compensation (CudaUtil.cuh:361-373)
+- next origin offset +-EPS along the shading normal by refraction flag
+  (CudaUtil.cuh:349)
+
+Differentiation: with cfg.detach_sampling, sampled directions, pdfs, RR
+decisions and discrete picks are wrapped in stop_gradient ("detached
+sampling" estimator), which leaves the primal unchanged and the material/
+emission gradient unbiased w.r.t. the sampling distribution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pathtrace_tpu.integrator.config import IntegratorConfig
+from pathtrace_tpu.models.scene import Scene
+from pathtrace_tpu.ops import bsdf
+from pathtrace_tpu.ops.bsdf import ShadeFrame
+from pathtrace_tpu.ops.intersect import HitRecord, raycast_brute
+from pathtrace_tpu.utils import math3, rng
+from pathtrace_tpu.utils.math3 import EPS, dot, normalize
+
+
+def _maybe_detach(x, cfg: IntegratorConfig):
+    return jax.lax.stop_gradient(x) if cfg.detach_sampling else x
+
+
+def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
+                     wo: jnp.ndarray, draws: jnp.ndarray,
+                     raycast_fn, cfg: IntegratorConfig) -> jnp.ndarray:
+    """Next-event estimation for one bounce of the whole batch.
+
+    Mirrors CudaUtil.cuh:234-272: uniform light pick, area sampling
+    (SamplePrimitive, CudaUtil.cuh:38-48), shadow ray via a second full
+    raycast (GetLightColor, CudaUtil.cuh:150-166), and the contribution
+    brdfcos * Llight * cosA / (dist^2 * pdfLight), pdfLight = (1/area)/Nl.
+    """
+    nl = scene.num_lights
+    light_slot = rng.randint_from_uniform(draws[:, rng.COL_LIGHT_PICK], nl)
+    light_tri = scene.lights[light_slot]                     # (R,) tri index
+
+    tr = scene.tris
+    v0, v1, v2 = tr.v0[light_tri], tr.v1[light_tri], tr.v2[light_tri]
+    # SamplePrimitive: r1 = sqrt(u), point = (1-r1)V0 + r1(1-r2)V1 + r1 r2 V2
+    r1 = math3.safe_sqrt(draws[:, rng.COL_NEE_R1])[:, None]
+    r2 = draws[:, rng.COL_NEE_R2][:, None]
+    point = (1.0 - r1) * v0 + r1 * (1.0 - r2) * v1 + r1 * r2 * v2
+    point = jax.lax.stop_gradient(point)  # geometry sampling, not differentiated
+    area = tr.area[light_tri]
+    light_normal = tr.geometric_normal[light_tri]
+
+    to_light = point - hit.p
+    dist2 = math3.squared_length(to_light)
+    dist = jnp.sqrt(jnp.maximum(dist2, math3.TINY))
+    sdir = normalize(to_light)
+
+    # Shadow ray: origin ON the surface, t_min = 0, t_max = dist + 1
+    # (GetLightColor) - backface culling prevents self-hit.
+    shadow = raycast_fn(
+        jax.lax.stop_gradient(hit.p), jax.lax.stop_gradient(sdir),
+        jnp.zeros_like(dist), jax.lax.stop_gradient(dist) + 1.0)
+    reached = shadow.hit & (math3.length(shadow.p - point) < EPS)
+    light_color = jnp.where(reached[:, None], shadow.mat.emittance, 0.0)
+
+    cos_a = jnp.maximum(dot(light_normal, normalize(hit.p - point)), 0.0)
+    pdf_light = math3.safe_div(jnp.ones_like(area), area) / nl
+
+    brdfcos = bsdf.eval_bsdfcos(hit.mat, frame, wo, sdir)
+    contrib = (brdfcos * light_color * cos_a[:, None]
+               / jnp.maximum(dist2 * pdf_light, math3.TINY)[:, None])
+    # Reference skips NaN contributions (CudaUtil.cuh:271 isnan check).
+    finite = jnp.all(jnp.isfinite(contrib), axis=-1, keepdims=True)
+    return jnp.where(finite, contrib, 0.0)
+
+
+def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
+                     base_key, ray_ids):
+    """Returns the scan body advancing the whole batch by one bounce."""
+
+    def step(state, it):
+        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+         alive, ray_count) = state
+        draws = rng.uniforms(base_key, ray_ids, it)
+
+        hit = raycast_fn(org, dirn, jnp.zeros(org.shape[0], jnp.float32),
+                         jnp.full((org.shape[0],), 999999.0, jnp.float32))
+        live_hit = alive & hit.hit
+        live_miss = alive & ~hit.hit
+
+        # --- miss: += weight * 0.1 gray, path ends (CudaUtil.cuh:375-379)
+        miss_rgb = jnp.asarray(cfg.miss_radiance, jnp.float32)
+        radiance = radiance + jnp.where(live_miss[:, None],
+                                        weight * miss_rgb, 0.0)
+
+        frame = ShadeFrame(normal=hit.normal, tangent=hit.tangent,
+                           bitangent=hit.bitangent, front_face=hit.front_face)
+        wo = -dirn
+
+        # --- emissive hit accumulates every bounce (CudaUtil.cuh:220-224)
+        emissive = math3.squared_length(hit.mat.emittance) > EPS
+        radiance = radiance + jnp.where((live_hit & emissive)[:, None],
+                                        weight * hit.mat.emittance, 0.0)
+
+        # --- NEE (CudaUtil.cuh:234-272)
+        shadow_rays = 0
+        if cfg.nee and scene.num_lights > 0:
+            contrib = nee_contribution(scene, hit, frame, wo, draws,
+                                       raycast_fn, cfg)
+            radiance = radiance + jnp.where(live_hit[:, None],
+                                            weight * contrib, 0.0)
+            shadow_rays = jnp.sum(live_hit.astype(jnp.int32))
+
+        # rays traced this iteration: one closest-hit per alive lane plus
+        # one shadow ray per live hit (the bench counts real traversals,
+        # matching the reference's "HOT LOOP #1/#2" accounting, SURVEY §3.4)
+        ray_count = ray_count + jnp.sum(alive.astype(jnp.int32)) + shadow_rays
+
+        # --- BSDF sampling (CudaUtil.cuh:276-338)
+        u_lobe = draws[:, rng.COL_LOBE]
+        u_phi = draws[:, rng.COL_PHI]
+        u_ry = draws[:, rng.COL_RY]
+        wi = bsdf.sample_bsdf(hit.mat, frame, wo, u_lobe, u_phi, u_ry)
+        wi = _maybe_detach(wi, cfg)
+        w1 = bsdf.eval_bsdfcos(hit.mat, frame, wo, wi)
+        w2 = jnp.maximum(bsdf.pdf_bsdf(hit.mat, frame, wo, wi), cfg.pdf_clamp)
+        w2 = _maybe_detach(w2, cfg)
+        current_weight = w1 / w2[:, None]
+
+        dead_sample = math3.squared_length(wi) <= EPS
+        cont = live_hit & ~dead_sample
+        weight = jnp.where(cont[:, None], weight * current_weight, weight)
+
+        # --- sticky refraction flag: reassigned only on transparent hits
+        # (CudaUtil.cuh:307); opaque hits keep the previous value.
+        transparent = hit.mat.opacity < (1.0 - EPS)
+        new_refracted = dot(frame.normal, wo) * dot(frame.normal, wi) <= 0.0
+        refracted = jnp.where(cont & transparent, new_refracted, refracted)
+
+        # --- next ray (CudaUtil.cuh:349-350); Ray ctor normalizes dir.
+        org_next = hit.p + frame.normal * jnp.where(refracted[:, None],
+                                                    -EPS, EPS)
+        dir_next = normalize(wi)
+        org = jnp.where(cont[:, None], org_next, org)
+        dirn = jnp.where(cont[:, None], dir_next, dirn)
+
+        # --- refraction depth exemption + cap (CudaUtil.cuh:351-359):
+        # `if (RefractCnt++ > 8) break` - pre-increment check.
+        refract_now = cont & refracted
+        over_cap = refract_now & (refract_cnt > cfg.refract_cap)
+        refract_cnt = refract_cnt + refract_now.astype(jnp.int32)
+
+        # --- Russian roulette (CudaUtil.cuh:361-373), skipped by refracting
+        # lanes (`continue`). Uses the loop-entry depth value.
+        rr_lane = cont & ~refracted & (depth >= cfg.rr_bounce)
+        rr_prob = jnp.clip(math3.max3(_maybe_detach(weight, cfg)),
+                           cfg.rr_stop_prob, 1.0)
+        rr_survive = draws[:, rng.COL_RR] < rr_prob
+        weight = jnp.where((rr_lane & rr_survive)[:, None],
+                           weight / rr_prob[:, None], weight)
+
+        # --- liveness & depth bookkeeping (for-loop increment, Depth--)
+        depth_next = depth + jnp.where(cont & ~refracted, 1, 0)
+        alive = (cont
+                 & ~over_cap
+                 & ~(rr_lane & ~rr_survive)
+                 & (depth_next < cfg.max_bounce))
+        depth = depth_next
+
+        return (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+                alive, ray_count), None
+
+    return step
+
+
+def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
+                      ray_ids: jnp.ndarray, base_key,
+                      cfg: IntegratorConfig = IntegratorConfig(),
+                      raycast_fn=None):
+    """Estimate radiance for a batch of camera rays.
+
+    Returns (radiance (R, 3), rays_traced scalar int32). raycast_fn(scene,
+    org, dir, t_min, t_max) -> HitRecord defaults to the BVH traversal when
+    the scene has one, else brute force.
+    """
+    if raycast_fn is None:
+        if scene.bvh is not None:
+            from pathtrace_tpu.accel.traverse import raycast_bvh
+            raycast_fn = partial(raycast_bvh, scene)
+        else:
+            raycast_fn = partial(raycast_brute, scene)
+    else:
+        raycast_fn = partial(raycast_fn, scene)
+
+    r = org.shape[0]
+    state = (
+        org, dirn,
+        jnp.zeros((r, 3), jnp.float32),   # radiance
+        jnp.ones((r, 3), jnp.float32),    # weight
+        jnp.zeros((r,), jnp.int32),       # depth
+        jnp.zeros((r,), jnp.int32),       # refract count
+        jnp.zeros((r,), bool),            # sticky refraction flag
+        jnp.ones((r,), bool),             # alive
+        jnp.zeros((), jnp.int32),         # rays traced
+    )
+    step = make_bounce_step(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
+                            cfg, base_key, ray_ids)
+    state, _ = jax.lax.scan(step, state, jnp.arange(cfg.max_iters))
+    return state[2], state[8]
+
+
+def trace_paths(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
+                ray_ids: jnp.ndarray, base_key,
+                cfg: IntegratorConfig = IntegratorConfig(),
+                raycast_fn=None) -> jnp.ndarray:
+    """Radiance only; see trace_paths_stats."""
+    return trace_paths_stats(scene, org, dirn, ray_ids, base_key, cfg,
+                             raycast_fn)[0]

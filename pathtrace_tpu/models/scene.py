@@ -1,0 +1,271 @@
+"""SoA scene representation — the device-resident "model" of the world.
+
+TPU-native replacement for the reference's AoS device scene
+(Triangle objects with 12 vec3s + 3 Materials each, CudaPrimitive.cuh:74-235;
+Sphere objects CudaPrimitive.cuh:249-323). Here every attribute is a flat
+(T, ...) array so intersection and shading are dense vector ops, and the
+material arrays form the *differentiable parameter pytree* (gradients flow
+through per-hit gathers back to per-triangle parameters).
+
+One material per triangle: in the reference each vertex carries a Material
+copied from the mesh-level aiMaterial (model.h:173-207), so mat0==mat1==mat2
+always, and shading reads mat0 only (CudaPrimitive.cuh:149-154). A single
+per-triangle material is therefore exactly equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtrace_tpu.utils.pytree import pytree_dataclass
+from pathtrace_tpu.utils import math3
+
+
+@pytree_dataclass
+class Material:
+    """Per-primitive material parameters (the learnable pytree).
+
+    Semantics follow the reference Material struct (CudaPrimitive.cuh:15-23):
+    emittance/albedo/specular are RGB; opacity<1-EPS selects the refractive
+    lobe family, roughness<1e-2 selects the delta lobe variant
+    (CudaUtil.cuh:248-270, 284-334).
+    """
+
+    emittance: jnp.ndarray  # (N, 3)
+    albedo: jnp.ndarray     # (N, 3)
+    specular: jnp.ndarray   # (N, 3)
+    opacity: jnp.ndarray    # (N,)
+    roughness: jnp.ndarray  # (N,)
+    metallic: jnp.ndarray   # (N,)
+
+    @staticmethod
+    def stack(mats: list["Material"]) -> "Material":
+        return Material(
+            *[jnp.concatenate([getattr(m, f) for m in mats], axis=0)
+              for f in ("emittance", "albedo", "specular", "opacity",
+                        "roughness", "metallic")]
+        )
+
+    @staticmethod
+    def make(n: int,
+             emittance=(0.0, 0.0, 0.0),
+             albedo=(1.0, 1.0, 1.0),
+             specular=(0.04, 0.04, 0.04),
+             opacity=1.0,
+             roughness=1.0,
+             metallic=0.0) -> "Material":
+        f = jnp.float32
+        return Material(
+            emittance=jnp.broadcast_to(jnp.asarray(emittance, f), (n, 3)),
+            albedo=jnp.broadcast_to(jnp.asarray(albedo, f), (n, 3)),
+            specular=jnp.broadcast_to(jnp.asarray(specular, f), (n, 3)),
+            opacity=jnp.full((n,), opacity, f),
+            roughness=jnp.full((n,), roughness, f),
+            metallic=jnp.full((n,), metallic, f),
+        )
+
+    def gather(self, idx: jnp.ndarray) -> "Material":
+        return Material(
+            emittance=self.emittance[idx],
+            albedo=self.albedo[idx],
+            specular=self.specular[idx],
+            opacity=self.opacity[idx],
+            roughness=self.roughness[idx],
+            metallic=self.metallic[idx],
+        )
+
+
+@pytree_dataclass
+class Triangles:
+    """World-space triangle soup with per-vertex shading attributes.
+
+    Layout mirrors what the reference flattens to the GPU
+    (Triangle::Copy, CudaPrimitive.cuh:171-215): positions, shading
+    normals/tangents/bitangents per vertex, uv per vertex, plus derived
+    E1/E2/geometric normal/area.
+    """
+
+    v0: jnp.ndarray   # (T, 3) positions
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    n0: jnp.ndarray   # (T, 3) shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    t0: jnp.ndarray   # (T, 3) tangents
+    t1: jnp.ndarray
+    t2: jnp.ndarray
+    b0: jnp.ndarray   # (T, 3) bitangents
+    b1: jnp.ndarray
+    b2: jnp.ndarray
+    uv0: jnp.ndarray  # (T, 2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+
+    @property
+    def e1(self) -> jnp.ndarray:
+        return self.v1 - self.v0
+
+    @property
+    def e2(self) -> jnp.ndarray:
+        return self.v2 - self.v0
+
+    @property
+    def geometric_normal(self) -> jnp.ndarray:
+        """normalize(cross(E1, E2)) (CudaPrimitive.cuh:203)."""
+        return math3.normalize(math3.cross(self.e1, self.e2))
+
+    @property
+    def area(self) -> jnp.ndarray:
+        """|cross(E1, E2)| / 2 (CudaPrimitive.cuh:205)."""
+        return math3.length(math3.cross(self.e1, self.e2)) * 0.5
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+    @staticmethod
+    def from_vertices(positions: np.ndarray, normals: np.ndarray,
+                      tangents: Optional[np.ndarray] = None,
+                      bitangents: Optional[np.ndarray] = None,
+                      uvs: Optional[np.ndarray] = None) -> "Triangles":
+        """Build from (T,3,3) position/normal arrays (+ optional T/B/uv).
+
+        Tangent fallback mirrors the reference's (model.h:159-171): build an
+        arbitrary orthonormal frame from the normal when no uv-derived
+        tangents exist.
+        """
+        positions = np.asarray(positions, np.float32)
+        normals = np.asarray(normals, np.float32)
+        t = positions.shape[0]
+        if tangents is None or bitangents is None:
+            tangents, bitangents = tangent_frame_from_normals(normals)
+        if uvs is None:
+            uvs = np.zeros((t, 3, 2), np.float32)
+        j = jnp.asarray
+        return Triangles(
+            v0=j(positions[:, 0]), v1=j(positions[:, 1]), v2=j(positions[:, 2]),
+            n0=j(normals[:, 0]), n1=j(normals[:, 1]), n2=j(normals[:, 2]),
+            t0=j(tangents[:, 0]), t1=j(tangents[:, 1]), t2=j(tangents[:, 2]),
+            b0=j(bitangents[:, 0]), b1=j(bitangents[:, 1]), b2=j(bitangents[:, 2]),
+            uv0=j(uvs[:, 0]), uv1=j(uvs[:, 1]), uv2=j(uvs[:, 2]),
+        )
+
+    @staticmethod
+    def concatenate(parts: list["Triangles"]) -> "Triangles":
+        import dataclasses
+        fields = [f.name for f in dataclasses.fields(Triangles)]
+        return Triangles(
+            **{f: jnp.concatenate([getattr(p, f) for p in parts], axis=0)
+               for f in fields}
+        )
+
+
+def tangent_frame_from_normals(normals: np.ndarray):
+    """Arbitrary stable tangent frame per vertex from normals (numpy).
+
+    Reference fallback (model.h:159-171) crosses the normal with a fixed
+    axis; we pick the axis least aligned with n for stability.
+    """
+    n = np.asarray(normals, np.float32)
+    flat = n.reshape(-1, 3)
+    helper = np.where(
+        (np.abs(flat[:, 1:2]) < 0.99), np.array([[0.0, 1.0, 0.0]], np.float32),
+        np.array([[1.0, 0.0, 0.0]], np.float32))
+    t = np.cross(helper, flat)
+    t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    b = np.cross(flat, t)
+    return t.reshape(n.shape), b.reshape(n.shape)
+
+
+@pytree_dataclass
+class Spheres:
+    """Analytic spheres; not in the BVH, linearly scanned after the tree walk
+    exactly like the reference (CudaUtil.cuh:137-145)."""
+
+    center: jnp.ndarray  # (S, 3)
+    radius: jnp.ndarray  # (S,)
+    mat: Material        # (S, ...) fields
+
+    @property
+    def count(self) -> int:
+        return self.center.shape[0]
+
+    @staticmethod
+    def empty() -> "Spheres":
+        return Spheres(
+            center=jnp.zeros((0, 3), jnp.float32),
+            radius=jnp.zeros((0,), jnp.float32),
+            mat=Material.make(0),
+        )
+
+
+@pytree_dataclass(static=("num_lights",))
+class Scene:
+    """Full device scene: triangle soup + materials + spheres + light table.
+
+    `lights` indexes emissive triangles, discovered at build time by scanning
+    emittance like the reference's upload loop (pathtracer.cu:164-174).
+    `num_lights` is static so the sampler's modulus is compile-time.
+
+    `bvh` (optional) holds the flat threaded BVH over `tris`; when present,
+    `tris`/`mat` are already permuted to leaf-contiguous order (the
+    reference does the same reorder when flattening, CudaPrimitive.cu:84-90).
+    """
+
+    tris: Triangles
+    mat: Material         # per-triangle
+    spheres: Spheres
+    lights: jnp.ndarray   # (L,) int32 indices into tris
+    num_lights: int
+    bvh: object = None    # Optional[BVHArrays]
+
+    @property
+    def num_tris(self) -> int:
+        return self.tris.count
+
+    @property
+    def num_spheres(self) -> int:
+        return self.spheres.count
+
+    @staticmethod
+    def build(tris: Triangles, mat: Material,
+              spheres: Optional[Spheres] = None) -> "Scene":
+        if spheres is None:
+            spheres = Spheres.empty()
+        # Light scan on host (mirrors pathtracer.cu:164-174: any emissive
+        # channel -> light). EPS threshold on |emittance| as in the reference.
+        emit = np.asarray(mat.emittance)
+        is_light = np.linalg.norm(emit, axis=-1) > math3.EPS
+        lights = np.nonzero(is_light)[0].astype(np.int32)
+        if lights.size == 0:
+            # Keep shapes static & nonzero; with num_lights==0 the
+            # integrator skips NEE entirely.
+            lights_arr = jnp.zeros((1,), jnp.int32)
+        else:
+            lights_arr = jnp.asarray(lights)
+        return Scene(
+            tris=tris, mat=mat, spheres=spheres,
+            lights=lights_arr, num_lights=int(lights.size),
+        )
+
+    def with_bvh(self, leaf_size: int = 4) -> "Scene":
+        """Build the SAH BVH and return a scene with triangles/materials
+        permuted into leaf-contiguous order (light table rebuilt)."""
+        import dataclasses
+        from pathtrace_tpu.accel.bvh import build_bvh
+
+        positions = np.stack(
+            [np.asarray(self.tris.v0), np.asarray(self.tris.v1),
+             np.asarray(self.tris.v2)], axis=1)
+        bvh, order = build_bvh(positions, leaf_size=leaf_size)
+        order = jnp.asarray(order)
+        tri_fields = {f.name: getattr(self.tris, f.name)[order]
+                      for f in dataclasses.fields(Triangles)}
+        tris = Triangles(**tri_fields)
+        mat = self.mat.gather(order)
+        base = Scene.build(tris, mat, self.spheres)
+        return Scene(tris=base.tris, mat=base.mat, spheres=base.spheres,
+                     lights=base.lights, num_lights=base.num_lights, bvh=bvh)

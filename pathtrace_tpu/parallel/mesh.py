@@ -1,0 +1,140 @@
+"""Multi-chip scaling: rays/tiles sharded over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2: its only parallelism is
+one CUDA thread per pixel); this module adds the scaling the north star
+demands, the TPU-native way:
+
+- a 1-D `jax.sharding.Mesh` over all chips (extend to ("host","chip") for
+  multi-host pods via jax.distributed.initialize, see parallel/distributed)
+- the pixel/ray batch is sharded on the mesh axis; the scene (BVH +
+  geometry + materials) is replicated in every chip's HBM
+- rendering needs NO communication (each chip owns its pixels); gradient
+  steps psum material gradients and the loss over ICI
+- determinism: RNG streams are keyed by logical ray id (utils/rng.py), so
+  an N-chip render is bit-identical to the 1-chip render
+
+Collectives ride XLA (`psum`) - no hand-rolled NCCL analog.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pathtrace_tpu.core.camera import Camera
+from pathtrace_tpu.integrator.config import IntegratorConfig
+from pathtrace_tpu.integrator.megakernel import trace_paths
+from pathtrace_tpu.models.scene import Scene
+from pathtrace_tpu.utils import rng
+from pathtrace_tpu.utils.pytree import replace
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (RAY_AXIS,), devices=devices)
+
+
+def _camera_rays(camera: Camera, sample_idx, base_key):
+    px, py = camera.pixel_grid()
+    num_pix = px.shape[0]
+    jkey = rng.iter_key(base_key, 0x7F000000)
+    pixel_ids = jnp.arange(num_pix, dtype=jnp.int32)
+    ray_ids = sample_idx * num_pix + pixel_ids
+    ju = jax.vmap(
+        lambda rid: jax.random.uniform(jax.random.fold_in(jkey, rid), (2,))
+    )(ray_ids)
+    dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
+    org = jnp.broadcast_to(camera.pos, dirs.shape)
+    return org, dirs, ray_ids
+
+
+def _shard_trace(scene, org, dirs, ray_ids, base_key, cfg, spp, num_pix):
+    """Body run per device shard: spp-scan of the bounce megakernel over
+    the local slice of rays. Pure data parallel - no collectives.
+
+    ray_ids hold the *global* pixel ids of this shard's slice; sample s
+    uses id = s*num_pix + pixel_id (the reference's stream layout,
+    pathtracer.cu:71), keeping RNG shard-invariant.
+    """
+    def body(accum, s):
+        accum = accum + trace_paths(scene, org, dirs,
+                                    ray_ids + s * num_pix, base_key, cfg)
+        return accum, None
+
+    accum = jnp.zeros((org.shape[0], 3), jnp.float32)
+    accum, _ = jax.lax.scan(body, accum, jnp.arange(spp))
+    return accum / spp
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "mesh"))
+def render_sharded(scene: Scene, camera: Camera, spp: int, base_key,
+                   mesh: Mesh, cfg: IntegratorConfig = IntegratorConfig()):
+    """(H, W, 3) linear image; pixels sharded over the mesh axis.
+
+    Requires W*H divisible by the mesh size (standard tile padding
+    constraint; all preset configs satisfy it).
+    """
+    num_pix = camera.width * camera.height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0, (num_pix, n_dev)
+
+    org, dirs, ray_ids = _camera_rays(camera, 0, base_key)
+
+    traced = jax.shard_map(
+        lambda sc, o, d, ids: _shard_trace(sc, o, d, ids, base_key, cfg, spp,
+                                           num_pix),
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+    )
+    img = traced(scene, org, dirs, ray_ids)
+    return img.reshape(camera.height, camera.width, 3)
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "mesh"))
+def render_grad_sharded(scene: Scene, camera: Camera, target: jnp.ndarray,
+                        spp: int, base_key, mesh: Mesh,
+                        cfg: IntegratorConfig = IntegratorConfig()):
+    """One distributed "training step" against a target image.
+
+    Returns (loss, (tri_mat_grads, sphere_mat_grads)). Inside shard_map each
+    chip differentiates its local L2 tile loss w.r.t. the replicated
+    material pytree, then grads and loss are `psum`ed over ICI - XLA
+    schedules the all-reduce to overlap with the backward shade where
+    possible (async collectives). This is the renderer analog of
+    data-parallel training with replicated parameters.
+    """
+    num_pix = camera.width * camera.height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0
+
+    org, dirs, ray_ids = _camera_rays(camera, 0, base_key)
+    target_flat = target.reshape(num_pix, 3)
+
+    def local_step(scene_in, o, d, ids, tgt):
+        def loss_fn(tri_mat, sph_mat):
+            sc = replace(scene_in, mat=tri_mat,
+                         spheres=replace(scene_in.spheres, mat=sph_mat))
+            img = _shard_trace(sc, o, d, ids, base_key, cfg, spp, num_pix)
+            return jnp.sum((img - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            scene_in.mat, scene_in.spheres.mat)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        return loss, grads
+
+    stepped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(), P()),
+    )
+    return stepped(scene, org, dirs, ray_ids, target_flat)

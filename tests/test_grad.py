@@ -1,0 +1,111 @@
+"""Gradient oracle tests: autodiff vs central finite differences on the
+same deterministic estimator (north star: allclose; SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from pathtrace_tpu.diff import fd_material_grad, material_grads
+from pathtrace_tpu.integrator.config import IntegratorConfig
+from pathtrace_tpu.models import procedural
+from pathtrace_tpu.utils import rng
+
+# FD-comparison config: Russian roulette off (rr_bounce >= max_bounce).
+# RR survival depends on the path weight, hence on the perturbed material:
+# a finite difference sees discrete survival flips that the detached
+# estimator correctly holds fixed, so RR-on FD comparisons carry O(flip)
+# noise. RR only affects variance, not the estimator mean, so the
+# differentiable path is validated RR-off; RR-on gradients get their own
+# finiteness/sign test below.
+FD_CFG = IntegratorConfig(rr_bounce=99)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = procedural.cornell_box_scene()
+    cam = procedural.default_camera(16, 16)
+    key = rng.make_key(0)
+    spp = 4
+    g_tri, g_sph, loss = material_grads(scene, cam, spp, key, cfg=FD_CFG)
+    return scene, cam, key, spp, g_tri, g_sph, loss
+
+
+def _check(ad, fd, label, tol=2e-2):
+    denom = max(abs(fd), abs(ad), 1.0)
+    rel = abs(ad - fd) / denom
+    assert rel < tol, f"{label}: ad={ad} fd={fd} rel={rel}"
+
+
+def test_grads_finite(setup):
+    _, _, _, _, g_tri, g_sph, loss = setup
+    assert np.isfinite(float(loss))
+    for f in ("albedo", "emittance", "roughness", "specular", "metallic"):
+        assert np.isfinite(np.asarray(getattr(g_tri, f))).all(), f
+
+
+def test_albedo_grad_matches_fd(setup):
+    scene, cam, key, spp, g_tri, _, _ = setup
+    # a floor triangle's red albedo channel (floor = first two tris)
+    idx = (0, 0)
+    fd = fd_material_grad(scene, cam, spp, key, "tris", "albedo", idx, h=2e-2, cfg=FD_CFG)
+    ad = float(np.asarray(g_tri.albedo)[idx])
+    _check(ad, fd, "albedo[0,0]")
+
+
+def test_emittance_grad_matches_fd(setup):
+    scene, cam, key, spp, g_tri, _, _ = setup
+    light_idx = int(np.asarray(scene.lights)[0])
+    idx = (light_idx, 1)
+    fd = fd_material_grad(scene, cam, spp, key, "tris", "emittance", idx,
+                          h=5e-2, cfg=FD_CFG)
+    ad = float(np.asarray(g_tri.emittance)[idx])
+    assert ad > 0.0, "more emission must brighten the image"
+    _check(ad, fd, "emittance[light,1]")
+
+
+def test_roughness_grad_matches_fd(setup):
+    scene, cam, key, spp, g_tri, _, _ = setup
+    fd = fd_material_grad(scene, cam, spp, key, "tris", "roughness", (2,),
+                          h=2e-2, cfg=FD_CFG)
+    ad = float(np.asarray(g_tri.roughness)[2])
+    _check(ad, fd, "roughness[2]")
+
+
+def test_specular_grad_matches_fd(setup):
+    """specular drives IOR via reflectivity_to_eta (CudaUtil.cuh:231), so
+    this is the IOR-gradient path."""
+    scene, cam, key, spp, g_tri, _, _ = setup
+    fd = fd_material_grad(scene, cam, spp, key, "tris", "specular", (4, 0),
+                          h=1e-2, cfg=FD_CFG)
+    ad = float(np.asarray(g_tri.specular)[(4, 0)])
+    _check(ad, fd, "specular[4,0]")
+
+
+def test_sphere_material_grads():
+    """IOR/roughness grads through analytic spheres (glass scene)."""
+    scene = procedural.glass_scene()
+    cam = procedural.default_camera(12, 12)
+    key = rng.make_key(1)
+    spp = 4
+    g_tri, g_sph, _ = material_grads(scene, cam, spp, key, cfg=FD_CFG)
+    assert np.isfinite(np.asarray(g_sph.albedo)).all()
+    assert np.isfinite(np.asarray(g_sph.roughness)).all()
+    assert np.isfinite(np.asarray(g_sph.specular)).all()
+    fd = fd_material_grad(scene, cam, spp, key, "spheres", "albedo", (0, 0),
+                          h=2e-2, cfg=FD_CFG)
+    ad = float(np.asarray(g_sph.albedo)[(0, 0)])
+    _check(ad, fd, "sphere albedo[0,0]")
+
+
+def test_rr_on_grads_finite_and_consistent():
+    """With RR enabled (default config) gradients stay finite and agree
+    in sign/magnitude-order with the RR-off gradient."""
+    scene = procedural.cornell_box_scene()
+    cam = procedural.default_camera(12, 12)
+    key = rng.make_key(2)
+    g_on, _, _ = material_grads(scene, cam, 4, key)
+    g_off, _, _ = material_grads(scene, cam, 4, key, cfg=FD_CFG)
+    a_on = float(np.asarray(g_on.albedo)[0, 0])
+    a_off = float(np.asarray(g_off.albedo)[0, 0])
+    assert np.isfinite(a_on) and np.isfinite(a_off)
+    assert a_on > 0 and a_off > 0
+    assert 0.3 < a_on / a_off < 3.0
