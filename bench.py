@@ -23,39 +23,31 @@ REF_PATHS_PER_SEC = 54e6  # BASELINE.md derived ballpark (13-min DiffuseRoom)
 
 def main():
     from pathtrace_tpu.models import procedural
-    from pathtrace_tpu.integrator.render import render
-    from pathtrace_tpu.integrator.megakernel import trace_paths_stats
+    from pathtrace_tpu.integrator.wavefront import render_wavefront_stats
     from pathtrace_tpu.integrator.config import IntegratorConfig
-    from pathtrace_tpu.parallel.mesh import _camera_rays
     from pathtrace_tpu.utils import rng
 
     w = int(os.environ.get("BENCH_W", 256))
     h = int(os.environ.get("BENCH_H", 256))
     spp = int(os.environ.get("BENCH_SPP", 1024))
+    lanes = int(os.environ.get("BENCH_LANES", 131072))
 
-    scene = procedural.cornell_box_scene(include_spheres=True).with_bvh()
+    scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
     camera = procedural.default_camera(w, h)
     cfg = IntegratorConfig()
     key = rng.make_key(0)
 
-    # --- instrumented pass: average rays per camera path (spp-invariant)
-    org, dirs, ray_ids = _camera_rays(camera, 0, key)
-    stats_fn = jax.jit(lambda sc, o, d, ids: trace_paths_stats(
-        sc, o, d, ids, key, cfg))
-    _, nrays = stats_fn(scene, org, dirs, ray_ids)
-    rays_per_path = float(nrays) / (w * h)
-
-    # --- timed render (warmup compile, then measure)
-    spp_warm = 8
-    img = render(scene, camera, spp_warm, key, cfg)
+    # warmup/compile at small spp, then timed run
+    img, _ = render_wavefront_stats(scene, camera, 4, key, cfg, lanes)
     img.block_until_ready()
     t0 = time.perf_counter()
-    img = render(scene, camera, spp, key, cfg)
+    img, nrays = render_wavefront_stats(scene, camera, spp, key, cfg, lanes)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 
     paths = w * h * spp
     paths_per_sec = paths / dt
+    rays_per_path = float(nrays) / paths
     rays_per_sec = paths_per_sec * rays_per_path
 
     print(json.dumps({

@@ -63,7 +63,8 @@ def _parallelogram_area(positions: np.ndarray) -> np.ndarray:
     return np.linalg.norm(np.cross(e1, e2), axis=-1)
 
 
-def build_bvh(positions: np.ndarray, leaf_size: int = LEAF_SIZE):
+def build_bvh(positions: np.ndarray, leaf_size: int = LEAF_SIZE,
+              backend: str = "auto"):
     """Build the flat threaded BVH.
 
     positions: (T, 3, 3) world-space triangle vertices.
@@ -71,7 +72,32 @@ def build_bvh(positions: np.ndarray, leaf_size: int = LEAF_SIZE):
     applied to triangles so every leaf owns a contiguous range (the
     reference achieves the same by copying prims in leaf visit order,
     CudaPrimitive.cu:84-90).
+
+    backend: "auto" (native C++ if compilable, else numpy), "native",
+    or "numpy". Both backends implement identical build semantics
+    (equivalence-tested in tests/test_native.py).
     """
+    positions = np.asarray(positions, np.float32)
+    if backend in ("auto", "native") and positions.shape[0] > 0:
+        from pathtrace_tpu import native
+
+        out = native.build_bvh_native(positions, leaf_size)
+        if out is not None:
+            (bmin, bmax, next_hit, next_miss, prim_start, prim_count,
+             prim_order, max_depth) = out
+            bvh = BVHArrays(
+                bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
+                next_hit=jnp.asarray(next_hit),
+                next_miss=jnp.asarray(next_miss),
+                prim_start=jnp.asarray(prim_start),
+                prim_count=jnp.asarray(prim_count),
+                num_nodes=bmin.shape[0],
+                max_leaf=int(prim_count.max()) if prim_count.size else 0,
+                max_depth=max_depth,
+            )
+            return bvh, prim_order
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
     t = positions.shape[0]
     cent = _centroids(positions)
     areas = _parallelogram_area(positions)

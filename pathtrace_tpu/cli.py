@@ -79,7 +79,10 @@ def cmd_grad_check(args) -> int:
     preset = get_preset(args.preset)
     scene = build_preset_scene(preset)
     camera = procedural.default_camera(args.width or 32, args.height or 32)
-    cfg = IntegratorConfig(rr_bounce=99)  # RR off for FD comparability
+    # FD comparability: RR off (discrete survival flips) and reparameterized
+    # sampling (FD with fixed seeds differentiates through the sampler);
+    # see tests/test_grad.py FD_CFG for the full rationale.
+    cfg = IntegratorConfig(rr_bounce=99, detach_sampling=False)
     key = rng.make_key(args.seed)
     spp = args.spp or 8
 

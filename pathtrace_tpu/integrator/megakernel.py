@@ -48,6 +48,18 @@ def _maybe_detach(x, cfg: IntegratorConfig):
     return jax.lax.stop_gradient(x) if cfg.detach_sampling else x
 
 
+def default_raycast(scene: Scene):
+    """Pick the best available intersection backend for this scene:
+    MXU-matmul coefficients > BVH traversal > brute force."""
+    if scene.mt is not None:
+        from pathtrace_tpu.ops.mt_matmul import raycast_matmul
+        return raycast_matmul
+    if scene.bvh is not None:
+        from pathtrace_tpu.accel.traverse import raycast_bvh
+        return raycast_bvh
+    return raycast_brute
+
+
 def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
                      wo: jnp.ndarray, draws: jnp.ndarray,
                      raycast_fn, cfg: IntegratorConfig) -> jnp.ndarray:
@@ -68,10 +80,13 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     r1 = math3.safe_sqrt(draws[:, rng.COL_NEE_R1])[:, None]
     r2 = draws[:, rng.COL_NEE_R2][:, None]
     point = (1.0 - r1) * v0 + r1 * (1.0 - r2) * v1 + r1 * r2 * v2
-    point = jax.lax.stop_gradient(point)  # geometry sampling, not differentiated
     area = tr.area[light_tri]
     light_normal = tr.geometric_normal[light_tri]
 
+    # Geometry terms stay differentiable: hit.p depends (through the
+    # reparameterized sampler) on upstream material params, and FD sees
+    # that transport dependence. Only the *visibility* query below is
+    # detached (discrete).
     to_light = point - hit.p
     dist2 = math3.squared_length(to_light)
     dist = jnp.sqrt(jnp.maximum(dist2, math3.TINY))
@@ -96,14 +111,18 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     return jnp.where(finite, contrib, 0.0)
 
 
-def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
-                     base_key, ray_ids):
-    """Returns the scan body advancing the whole batch by one bounce."""
+def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key):
+    """Core one-bounce transition shared by the lockstep megakernel and the
+    regenerating wavefront pipeline.
 
-    def step(state, it):
-        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
-         alive, ray_count) = state
-        draws = rng.uniforms(base_key, ray_ids, it)
+    Takes per-lane state + per-lane path-local iteration counters; the same
+    (ray_id, lane_iter) always draws the same randomness, so both
+    integrators realize the identical estimator per path.
+    """
+
+    def bounce(org, dirn, radiance, weight, depth, refract_cnt, refracted,
+               alive, ray_ids, lane_iter):
+        draws = rng.uniforms(base_key, ray_ids, lane_iter)
 
         hit = raycast_fn(org, dirn, jnp.zeros(org.shape[0], jnp.float32),
                          jnp.full((org.shape[0],), 999999.0, jnp.float32))
@@ -135,8 +154,10 @@ def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
 
         # rays traced this iteration: one closest-hit per alive lane plus
         # one shadow ray per live hit (the bench counts real traversals,
-        # matching the reference's "HOT LOOP #1/#2" accounting, SURVEY §3.4)
-        ray_count = ray_count + jnp.sum(alive.astype(jnp.int32)) + shadow_rays
+        # matching the reference's "HOT LOOP #1/#2" accounting, SURVEY §3.4).
+        # float32 accumulator: big renders overflow int32 (no x64 here).
+        rays_traced = (jnp.sum(alive.astype(jnp.int32))
+                       + shadow_rays).astype(jnp.float32)
 
         # --- BSDF sampling (CudaUtil.cuh:276-338)
         u_lobe = draws[:, rng.COL_LOBE]
@@ -190,7 +211,25 @@ def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
         depth = depth_next
 
         return (org, dirn, radiance, weight, depth, refract_cnt, refracted,
-                alive, ray_count), None
+                alive, rays_traced)
+
+    return bounce
+
+
+def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
+                     base_key, ray_ids):
+    """Scan body for the lockstep megakernel: all lanes share the global
+    iteration counter (every path starts at iteration 0 together)."""
+    bounce = make_bounce_fn(scene, raycast_fn, cfg, base_key)
+
+    def step(state, it):
+        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+         alive, ray_count) = state
+        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+         alive, traced) = bounce(org, dirn, radiance, weight, depth,
+                                 refract_cnt, refracted, alive, ray_ids, it)
+        return (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+                alive, ray_count + traced), None
 
     return step
 
@@ -206,11 +245,7 @@ def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
     the scene has one, else brute force.
     """
     if raycast_fn is None:
-        if scene.bvh is not None:
-            from pathtrace_tpu.accel.traverse import raycast_bvh
-            raycast_fn = partial(raycast_bvh, scene)
-        else:
-            raycast_fn = partial(raycast_brute, scene)
+        raycast_fn = partial(default_raycast(scene), scene)
     else:
         raycast_fn = partial(raycast_fn, scene)
 
@@ -223,7 +258,7 @@ def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
         jnp.zeros((r,), jnp.int32),       # refract count
         jnp.zeros((r,), bool),            # sticky refraction flag
         jnp.ones((r,), bool),             # alive
-        jnp.zeros((), jnp.int32),         # rays traced
+        jnp.zeros((), jnp.float32),       # rays traced
     )
     step = make_bounce_step(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
                             cfg, base_key, ray_ids)

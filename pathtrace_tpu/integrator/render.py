@@ -35,15 +35,12 @@ def render_sample(scene: Scene, camera: Camera, sample_idx, base_key,
     """Trace one sample per pixel; returns (W*H, 3) radiance."""
     px, py = camera.pixel_grid()
     num_pix = px.shape[0]
-    jkey = rng.iter_key(base_key, _JITTER_TAG)
     pixel_ids = jnp.arange(num_pix, dtype=jnp.int32)
     ray_ids = sample_idx * num_pix + pixel_ids
     # Per-(pixel,sample) subpixel jitter (GetPixelDirection,
     # pathtracer.cu:33-40; the reference jitters once per 1024-sample pass,
     # we jitter per sample - same estimator, better AA).
-    ju = jax.vmap(
-        lambda rid: jax.random.uniform(jax.random.fold_in(jkey, rid), (2,))
-    )(ray_ids)
+    ju = rng.pixel_jitter(base_key, ray_ids)
     dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
     org = jnp.broadcast_to(camera.pos, dirs.shape)
     return trace_paths(scene, org, dirs, ray_ids, base_key, cfg, raycast_fn)

@@ -1,0 +1,142 @@
+"""Wavefront path tracing with path regeneration (the scaled primal path).
+
+The lockstep megakernel (megakernel.py) advances a fixed ray batch through
+all bounce iterations with dead lanes masked - after Russian roulette and
+misses most lanes idle. This module restructures the loop the way the
+north star prescribes (regenerate/intersect/shade): one persistent lane
+array; every iteration each lane either continues its path or - if its
+path terminated - commits its radiance to the film (scatter-add) and pulls
+a fresh camera path from the pixel*sample pool. Occupancy stays ~100%
+until the pool drains.
+
+Per-path estimator semantics are IDENTICAL to the megakernel: the bounce
+transition is the shared make_bounce_fn, and randomness is keyed by
+(ray_id, path-local bounce counter), so each path sees the same stream in
+either scheduler (test: test_wavefront.py). Film accumulation order
+differs, so images agree to float-sum reordering.
+
+Shading stays branchless over the four lobes (masked select): on the VPU
+the 4x lobe arithmetic is cheaper than a per-bounce counting-sort of 64k+
+keys; lobe-sorted shading (the expert-dispatch analog) is planned with the
+Pallas binned-traversal kernel where the sort already exists.
+
+while_loop + scatter => primal-only; gradients use the scan megakernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pathtrace_tpu.core.camera import Camera
+from pathtrace_tpu.integrator.config import IntegratorConfig
+from pathtrace_tpu.integrator.megakernel import make_bounce_fn
+from pathtrace_tpu.models.scene import Scene
+from pathtrace_tpu.ops.intersect import raycast_brute
+from pathtrace_tpu.utils import rng
+
+
+def _regen_rays(camera: Camera, path_idx, base_key, num_pix):
+    """Camera ray for global path index = sample*num_pix + pixel."""
+    pixel = (path_idx % num_pix).astype(jnp.int32)
+    px = (pixel % camera.width).astype(jnp.float32)
+    py = (pixel // camera.width).astype(jnp.float32)
+    ju = rng.pixel_jitter(base_key, path_idx)
+    dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
+    org = jnp.broadcast_to(camera.pos, dirs.shape)
+    return org, dirs, pixel
+
+
+def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
+                  cfg: IntegratorConfig, lanes: int):
+    num_pix = camera.width * camera.height
+    total_paths = num_pix * spp
+    lanes = min(lanes, total_paths)
+
+    from pathtrace_tpu.integrator.megakernel import default_raycast
+    raycast_fn = partial(default_raycast(scene), scene)
+    bounce = make_bounce_fn(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
+                            cfg, base_key)
+
+    film = jnp.zeros((num_pix, 3), jnp.float32)
+
+    init_ids = jnp.arange(lanes, dtype=jnp.int32)
+    org0, dir0, pixel0 = _regen_rays(camera, init_ids, base_key, num_pix)
+
+    state = dict(
+        film=film,
+        org=org0, dirn=dir0,
+        radiance=jnp.zeros((lanes, 3), jnp.float32),
+        weight=jnp.ones((lanes, 3), jnp.float32),
+        depth=jnp.zeros((lanes,), jnp.int32),
+        refract_cnt=jnp.zeros((lanes,), jnp.int32),
+        refracted=jnp.zeros((lanes,), bool),
+        alive=jnp.ones((lanes,), bool),
+        ray_ids=init_ids,
+        pixel=pixel0,
+        lane_iter=jnp.zeros((lanes,), jnp.int32),
+        next_path=jnp.asarray(lanes, jnp.int32),
+        rays=jnp.zeros((), jnp.float32),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+         alive_next, traced) = bounce(
+            s["org"], s["dirn"], s["radiance"], s["weight"], s["depth"],
+            s["refract_cnt"], s["refracted"], s["alive"], s["ray_ids"],
+            s["lane_iter"])
+
+        died = s["alive"] & ~alive_next
+        film = s["film"].at[s["pixel"]].add(
+            jnp.where(died[:, None], radiance, 0.0))
+
+        # --- regeneration: dead lanes pull consecutive fresh paths
+        slot = jnp.cumsum(died.astype(jnp.int32)) - 1
+        new_idx = s["next_path"] + slot
+        regen = died & (new_idx < total_paths)
+        new_idx_safe = jnp.where(regen, new_idx, 0)
+        r_org, r_dir, r_pixel = _regen_rays(camera, new_idx_safe, base_key,
+                                            num_pix)
+
+        sel = regen[:, None]
+        return dict(
+            film=film,
+            org=jnp.where(sel, r_org, org),
+            dirn=jnp.where(sel, r_dir, dirn),
+            radiance=jnp.where(sel, 0.0, radiance),
+            weight=jnp.where(sel, 1.0, weight),
+            depth=jnp.where(regen, 0, depth),
+            refract_cnt=jnp.where(regen, 0, refract_cnt),
+            refracted=jnp.where(regen, False, refracted),
+            alive=alive_next | regen,
+            ray_ids=jnp.where(regen, new_idx_safe, s["ray_ids"]),
+            pixel=jnp.where(regen, r_pixel, s["pixel"]),
+            lane_iter=jnp.where(regen, 0, s["lane_iter"] + 1),
+            next_path=s["next_path"] + jnp.sum(died.astype(jnp.int32)),
+            rays=s["rays"] + traced,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    img = state["film"].reshape(camera.height, camera.width, 3) / spp
+    return img, state["rays"]
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "lanes"))
+def render_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
+                     cfg: IntegratorConfig = IntegratorConfig(),
+                     lanes: int = 65536):
+    """(H, W, 3) mean radiance. `lanes` = persistent wavefront width."""
+    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes)[0]
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "lanes"))
+def render_wavefront_stats(scene: Scene, camera: Camera, spp: int, base_key,
+                           cfg: IntegratorConfig = IntegratorConfig(),
+                           lanes: int = 65536):
+    """(image, total rays traced) - for the throughput benchmark."""
+    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes)

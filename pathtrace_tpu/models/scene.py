@@ -221,6 +221,7 @@ class Scene:
     lights: jnp.ndarray   # (L,) int32 indices into tris
     num_lights: int
     bvh: object = None    # Optional[BVHArrays]
+    mt: object = None     # Optional[MTCoeffs] - MXU-matmul intersection path
 
     @property
     def num_tris(self) -> int:
@@ -268,4 +269,15 @@ class Scene:
         mat = self.mat.gather(order)
         base = Scene.build(tris, mat, self.spheres)
         return Scene(tris=base.tris, mat=base.mat, spheres=base.spheres,
-                     lights=base.lights, num_lights=base.num_lights, bvh=bvh)
+                     lights=base.lights, num_lights=base.num_lights, bvh=bvh,
+                     mt=self.mt)
+
+    def with_mt(self) -> "Scene":
+        """Precompute the MXU-matmul intersection coefficients (ops/mt_matmul)."""
+        import dataclasses
+        from pathtrace_tpu.ops.mt_matmul import build_mt_coeffs
+
+        positions = np.stack(
+            [np.asarray(self.tris.v0), np.asarray(self.tris.v1),
+             np.asarray(self.tris.v2)], axis=1)
+        return dataclasses.replace(self, mt=build_mt_coeffs(positions))

@@ -1,0 +1,178 @@
+"""Möller-Trumbore intersection as MXU matmuls.
+
+The TPU's FLOPs live in the 128x128 systolic array, not the VPU - so the
+#1 hot op (ray-triangle intersection, the reference's Triangle::hit inside
+RayCast, CudaPrimitive.cuh:89-157 + CudaUtil.cuh:93-148) is reformulated
+as a matrix product:
+
+With ray origin O and direction D, the four MT quantities are each
+*linear* in the 16-dim ray feature vector
+
+    f(O, D) = [1, O, D, D (outer) O]          (1 + 3 + 3 + 9)
+
+because (with N = E1 x E2):
+    det                = -D . N                        (linear in D)
+    t_num  = t * det   = (O - V0) . N                  (affine in O)
+    u_num  = u * det   = (D x E2) . (O - V0)           (bilinear in D,O)
+    v_num  = v * det   = ((O - V0) x E1) . D           (bilinear in D,O)
+
+So intersection against ALL T triangles is   F (R,16) @ M (16,T)   per
+quantity - four MXU matmuls - followed by elementwise accept tests and a
+masked min-reduction. The coefficient matrices are fitted numerically in
+float64 on the host by probing the exact scalar formulas at 16 basis rays
+(immune to sign/index-convention slips; validated against the direct
+Möller-Trumbore in tests).
+
+The backface cull (det < EPS reject) and all accept tests keep the
+reference's exact semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtrace_tpu.utils.pytree import pytree_dataclass
+from pathtrace_tpu.utils import math3
+from pathtrace_tpu.utils.math3 import EPS
+
+NUM_FEATURES = 16
+
+
+def ray_features(org: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
+    """(R, 16) feature vector [1, O, D, vec(D outer O)] (f32)."""
+    r = org.shape[0]
+    ones = jnp.ones((r, 1), org.dtype)
+    douter = (dirn[:, :, None] * org[:, None, :]).reshape(r, 9)
+    return jnp.concatenate([ones, org, dirn, douter], axis=1)
+
+
+def _features_np(org: np.ndarray, dirn: np.ndarray) -> np.ndarray:
+    r = org.shape[0]
+    ones = np.ones((r, 1))
+    douter = (dirn[:, :, None] * org[:, None, :]).reshape(r, 9)
+    return np.concatenate([ones, org, dirn, douter], axis=1)
+
+
+def _mt_exact_np(org, dirn, v0, e1, e2):
+    """Exact MT numerators for probe fitting, float64.
+    org/dirn: (P,3); v0/e1/e2: (T,3). Returns (P,T,4)."""
+    d = dirn[:, None, :]
+    tvec = org[:, None, :] - v0[None, :, :]
+    p = np.cross(d, e2[None, :, :])
+    q = np.cross(tvec, e1[None, :, :])
+    det = np.einsum("ptk,tk->pt", p, e1)
+    t_num = np.einsum("ptk,tk->pt", q, e2)
+    u_num = np.einsum("ptk,ptk->pt", p, tvec)
+    v_num = np.einsum("ptk,ptk->pt", q, d)
+    return np.stack([det, t_num, u_num, v_num], axis=-1)
+
+
+@pytree_dataclass(static=("num_tris",))
+class MTCoeffs:
+    """Fitted coefficient matrices, (16, T) each (f32, T padded to 128)."""
+
+    det: jnp.ndarray
+    t_num: jnp.ndarray
+    u_num: jnp.ndarray
+    v_num: jnp.ndarray
+    num_tris: int  # unpadded
+
+
+def build_mt_coeffs(positions: np.ndarray, pad_to: int = 128,
+                    scale_hint: float | None = None) -> MTCoeffs:
+    """Fit M numerically from (T,3,3) world-space triangle vertices.
+
+    Probe rays are scaled to the scene's extent so the 16x16 solve is
+    well-conditioned; the fit is exact (the map is linear) up to f64
+    rounding.
+    """
+    positions = np.asarray(positions, np.float64)
+    t = positions.shape[0]
+    v0 = positions[:, 0]
+    e1 = positions[:, 1] - v0
+    e2 = positions[:, 2] - v0
+
+    if scale_hint is None:
+        lo = positions.reshape(-1, 3).min(axis=0)
+        hi = positions.reshape(-1, 3).max(axis=0)
+        scale_hint = float(np.max(hi - lo)) or 1.0
+
+    rng_ = np.random.default_rng(0)
+    while True:
+        orgs = rng_.normal(size=(NUM_FEATURES, 3)) * scale_hint
+        dirs = rng_.normal(size=(NUM_FEATURES, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        f = _features_np(orgs, dirs)  # (16, 16)
+        if np.linalg.cond(f) < 1e8:
+            break
+
+    vals = _mt_exact_np(orgs, dirs, v0, e1, e2)  # (16, T, 4)
+    m = np.linalg.solve(f, vals.reshape(NUM_FEATURES, t * 4))
+    m = m.reshape(NUM_FEATURES, t, 4)
+
+    t_pad = max(((t + pad_to - 1) // pad_to) * pad_to, pad_to)
+    mp = np.zeros((NUM_FEATURES, t_pad, 4), np.float32)
+    mp[:, :t] = m.astype(np.float32)
+    # padding tris: det coeffs all zero -> det = 0 < EPS -> culled.
+    return MTCoeffs(
+        det=jnp.asarray(mp[..., 0]),
+        t_num=jnp.asarray(mp[..., 1]),
+        u_num=jnp.asarray(mp[..., 2]),
+        v_num=jnp.asarray(mp[..., 3]),
+        num_tris=t,
+    )
+
+
+def mt_matmul_closest(coeffs: MTCoeffs, org: jnp.ndarray, dirn: jnp.ndarray,
+                      t_min: jnp.ndarray, t_max: jnp.ndarray):
+    """Closest-hit over all triangles via four MXU matmuls (XLA path).
+
+    Returns (tri_hit (R,), best_t, tri_idx, u, v) with the reference's
+    accept semantics: det >= EPS (backface cull), 0 <= u_num <= det,
+    v_num >= 0, u_num + v_num <= det, t in [t_min, t_max].
+    """
+    f = ray_features(org, dirn)
+    det = jnp.dot(f, coeffs.det, preferred_element_type=jnp.float32)
+    t_num = jnp.dot(f, coeffs.t_num, preferred_element_type=jnp.float32)
+    u_num = jnp.dot(f, coeffs.u_num, preferred_element_type=jnp.float32)
+    v_num = jnp.dot(f, coeffs.v_num, preferred_element_type=jnp.float32)
+
+    inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
+    t = t_num * inv_det
+    valid = (det >= EPS)
+    valid &= (t >= t_min[:, None]) & (t <= t_max[:, None])
+    valid &= (u_num >= 0.0) & (u_num <= det)
+    valid &= (v_num >= 0.0) & (u_num + v_num <= det)
+
+    t_masked = jnp.where(valid, t, jnp.inf)
+    idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    best_t = take(t_masked)
+    hit = jnp.isfinite(best_t)
+    u = take(u_num) * take(inv_det)
+    v = take(v_num) * take(inv_det)
+    # no-hit lanes may argmin into a padded column; keep the gather index
+    # in range of the unpadded attribute arrays.
+    idx = jnp.minimum(idx, coeffs.num_tris - 1)
+    return hit, jnp.where(hit, best_t, 0.0), idx, u, v
+
+
+def raycast_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray,
+                   t_min=None, t_max=None):
+    """Drop-in raycast using the MXU-matmul intersection (scene.mt)."""
+    from pathtrace_tpu.ops.intersect import BIG_T, finalize_hit
+    import jax
+
+    assert scene.mt is not None, "scene has no MT coeffs; call Scene.with_mt()"
+    # Geometry detach, same rationale as raycast_bvh.
+    org = jax.lax.stop_gradient(org)
+    dirn = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    if t_min is None:
+        t_min = jnp.zeros((r,), jnp.float32)
+    if t_max is None:
+        t_max = jnp.full((r,), BIG_T, jnp.float32)
+    hit, best_t, idx, u, v = mt_matmul_closest(scene.mt, org, dirn, t_min,
+                                               t_max)
+    return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx, u, v)

@@ -45,12 +45,9 @@ def make_ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 def _camera_rays(camera: Camera, sample_idx, base_key):
     px, py = camera.pixel_grid()
     num_pix = px.shape[0]
-    jkey = rng.iter_key(base_key, 0x7F000000)
     pixel_ids = jnp.arange(num_pix, dtype=jnp.int32)
     ray_ids = sample_idx * num_pix + pixel_ids
-    ju = jax.vmap(
-        lambda rid: jax.random.uniform(jax.random.fold_in(jkey, rid), (2,))
-    )(ray_ids)
+    ju = rng.pixel_jitter(base_key, ray_ids)
     dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
     org = jnp.broadcast_to(camera.pos, dirs.shape)
     return org, dirs, ray_ids
@@ -94,6 +91,7 @@ def render_sharded(scene: Scene, camera: Camera, spp: int, base_key,
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
+        check_vma=False,  # while_loop carries start as replicated constants
     )
     img = traced(scene, org, dirs, ray_ids)
     return img.reshape(camera.height, camera.width, 3)
@@ -136,5 +134,6 @@ def render_grad_sharded(scene: Scene, camera: Camera, target: jnp.ndarray,
         local_step, mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     return stepped(scene, org, dirs, ray_ids, target_flat)

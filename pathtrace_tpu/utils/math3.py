@@ -68,9 +68,12 @@ def refract(w: jnp.ndarray, n: jnp.ndarray, inv_eta: jnp.ndarray) -> jnp.ndarray
         inv_eta = inv_eta[..., None]
     cosine = dot(n, w, keepdims=True)
     k = 1.0 + inv_eta * inv_eta * (cosine * cosine - 1.0)
-    safe_k = jnp.maximum(k, 0.0)
-    out = -w * inv_eta + (inv_eta * cosine - jnp.sqrt(safe_k)) * n
-    return jnp.where(k < 0.0, 0.0, out)
+    # double-where keeps the TIR branch's gradient NaN-free (sqrt'(0)=inf
+    # would otherwise poison the backward pass through masked lanes)
+    k_pos = k > 0.0
+    k_safe = jnp.where(k_pos, k, 1.0)
+    out = -w * inv_eta + (inv_eta * cosine - jnp.sqrt(k_safe)) * n
+    return jnp.where(k_pos, out, 0.0)
 
 
 def lerp(x: jnp.ndarray, y: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
@@ -98,7 +101,15 @@ def safe_div(a: jnp.ndarray, b: jnp.ndarray, eps: float = TINY) -> jnp.ndarray:
 
 
 def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a NaN-free gradient.
+
+    Double-where: plain sqrt(max(x,0)) has d/dx = inf at x=0 and its
+    backward produces NaN on clamped (x<0) lanes - which poisons whole-batch
+    gradients even when the primal is masked later (TIR boundaries in
+    fresnel_dielectric, shadowing terms, etc.)."""
+    positive = x > 1e-12
+    safe = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(safe), 0.0)
 
 
 def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:

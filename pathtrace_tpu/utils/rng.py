@@ -29,6 +29,58 @@ import jax
 import jax.numpy as jnp
 
 NUM_COLS = 8
+
+# ---------------------------------------------------------------------------
+# Philox4x32-10: counter-based, fully vectorized (dense uint32 VPU ops, no
+# per-lane key derivation). Counter = (ray_id, iteration, draw_block, const);
+# key = (seed_lo, seed_hi). ~10 rounds of 32x32->64 mul/xor per 4 outputs.
+# This replaces jax.random's per-lane threefry fold_in chain, which cost
+# ~3.4ms per bounce for 16k lanes on TPU (two vmapped hashes per lane);
+# philox here fuses into the surrounding kernel.
+# ---------------------------------------------------------------------------
+
+_PHILOX_M0 = jnp.uint32(0xD2511F53)
+_PHILOX_M1 = jnp.uint32(0xCD9E8D57)
+_PHILOX_W0 = jnp.uint32(0x9E3779B9)
+_PHILOX_W1 = jnp.uint32(0xBB67AE85)
+
+
+def _mulhilo(a, b):
+    """32x32 -> (hi, lo) without uint64 (x64 mode stays off): 16-bit limbs."""
+    mask = jnp.uint32(0xFFFF)
+    a0, a1 = a & mask, a >> 16
+    b0, b1 = b & mask, b >> 16
+    lo_lo = a0 * b0
+    mid1 = a1 * b0
+    mid2 = a0 * b1
+    hi_hi = a1 * b1
+    carry = ((lo_lo >> 16) + (mid1 & mask) + (mid2 & mask)) >> 16
+    hi = hi_hi + (mid1 >> 16) + (mid2 >> 16) + carry
+    lo = a * b
+    return hi, lo
+
+
+def _philox_round(c0, c1, c2, c3, k0, k1):
+    hi0, lo0 = _mulhilo(_PHILOX_M0, c0)
+    hi1, lo1 = _mulhilo(_PHILOX_M1, c2)
+    return (hi1 ^ c1 ^ k0, lo1, hi0 ^ c3 ^ k1, lo0)
+
+
+def philox4x32(c0, c1, c2, c3, k0, k1, rounds: int = 10):
+    """Philox4x32 keyed hash; all args uint32 arrays (broadcastable)."""
+    c0, c1, c2, c3 = (jnp.asarray(x, jnp.uint32) for x in (c0, c1, c2, c3))
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    for _ in range(rounds):
+        c0, c1, c2, c3 = _philox_round(c0, c1, c2, c3, k0, k1)
+        k0 = k0 + _PHILOX_W0
+        k1 = k1 + _PHILOX_W1
+    return c0, c1, c2, c3
+
+
+def _to_unit_float(u: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 in [0, 1): use the top 24 bits."""
+    return (u >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 COL_LIGHT_PICK = 0
 COL_NEE_R1 = 1
 COL_NEE_R2 = 2
@@ -39,30 +91,55 @@ COL_RR = 6
 
 
 def make_key(seed: int) -> jax.Array:
-    return jax.random.PRNGKey(seed)
+    """Key = uint32[2] philox key derived from the integer seed."""
+    s = jnp.uint32(seed & 0xFFFFFFFF)
+    s2 = jnp.uint32((seed >> 32) & 0xFFFFFFFF) ^ jnp.uint32(0xA5A5A5A5)
+    return jnp.stack([s, s2])
 
 
-def iter_key(base_key: jax.Array, iteration) -> jax.Array:
-    """Key for one bounce iteration of the whole wavefront."""
-    return jax.random.fold_in(base_key, iteration)
+def iter_key(base_key: jax.Array, tag) -> jax.Array:
+    """Derive an independent subkey (e.g. per render pass)."""
+    t = jnp.asarray(tag, jnp.uint32)
+    c0, c1, _, _ = philox4x32(t, jnp.uint32(0x5EEDF01D), jnp.uint32(0),
+                              jnp.uint32(1), base_key[0], base_key[1])
+    return jnp.stack([c0, c1])
+
+
+_STREAM_PATH = jnp.uint32(0x50415448)    # "PATH": bounce-loop draws
+_STREAM_JITTER = jnp.uint32(0x4A495454)  # "JITT": subpixel jitter
 
 
 def uniforms(base_key: jax.Array, ray_ids: jnp.ndarray, iteration,
              num: int = NUM_COLS) -> jnp.ndarray:
     """(R, num) uniforms in [0,1), a pure function of (key, ray_id, iteration).
 
-    ray_ids are *logical* ids (pixel*spp_stream etc.), so the stream is
+    ray_ids are *logical* ids (sample*npix + pixel), so the stream is
     invariant to how rays are batched or sharded across devices.
+    `iteration` may be a scalar (lockstep megakernel) or a per-lane array
+    (wavefront: each lane carries its own path-local bounce counter) - the
+    same path sees the same stream either way.
     """
-    k = iter_key(base_key, iteration)
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(k, ray_ids)
-    return jax.vmap(lambda kk: jax.random.uniform(kk, (num,), dtype=jnp.float32))(keys)
+    assert num <= 8
+    rid = jnp.asarray(ray_ids).astype(jnp.uint32)
+    it = jnp.broadcast_to(jnp.asarray(iteration), rid.shape).astype(jnp.uint32)
+    outs = []
+    for block in range((num + 3) // 4):
+        outs.extend(philox4x32(rid, it, jnp.full_like(rid, block),
+                               jnp.broadcast_to(_STREAM_PATH, rid.shape),
+                               base_key[0], base_key[1]))
+    u = jnp.stack(outs[:num], axis=-1)
+    return _to_unit_float(u)
 
 
-def uniform_grid(base_key: jax.Array, tag: int, shape, num: int) -> jnp.ndarray:
-    """(*shape, num) uniforms for per-pixel use (e.g. subpixel jitter)."""
-    k = jax.random.fold_in(base_key, tag)
-    return jax.random.uniform(k, tuple(shape) + (num,), dtype=jnp.float32)
+def pixel_jitter(base_key: jax.Array, ray_ids: jnp.ndarray) -> jnp.ndarray:
+    """(R, 2) subpixel jitter, keyed by logical ray id (GetPixelDirection's
+    curand_uniform pair, pathtracer.cu:35-36)."""
+    rid = jnp.asarray(ray_ids).astype(jnp.uint32)
+    z = jnp.zeros_like(rid)
+    c0, c1, _, _ = philox4x32(rid, z, z,
+                              jnp.broadcast_to(_STREAM_JITTER, rid.shape),
+                              base_key[0], base_key[1])
+    return _to_unit_float(jnp.stack([c0, c1], axis=-1))
 
 
 def randint_from_uniform(u: jnp.ndarray, n) -> jnp.ndarray:
