@@ -57,10 +57,11 @@ def raycast_bvh(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
     """Drop-in replacement for raycast_brute using scene.bvh."""
     bvh = scene.bvh
     assert bvh is not None, "scene has no BVH; call Scene.with_bvh()"
-    # Geometry is not differentiated (north star scope: material/emission
-    # grads). Detaching here keeps the reverse pass off the while_loop
-    # (lax.while_loop is not reverse-differentiable); material gradients
-    # still flow through the attribute/material gathers in finalize_hit.
+    # The while_loop (discrete traversal/selection) sees detached rays
+    # (lax.while_loop is not reverse-differentiable); hit attributes are
+    # recomputed differentiably at the chosen prim afterwards so transport
+    # gradients flow (see raycast_matmul).
+    org_raw, dirn_raw = org, dirn
     org = jax.lax.stop_gradient(org)
     dirn = jax.lax.stop_gradient(dirn)
     r = org.shape[0]
@@ -117,5 +118,12 @@ def raycast_bvh(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
     (node, best_t, best_prim, best_u, best_v,
      tri_hit) = jax.lax.while_loop(cond, body, state)
 
-    return finalize_hit(scene, org, dirn, t_min, t_max,
+    # differentiable recompute at the (detached) chosen primitive
+    t2, u2, v2, _ = mt_gather(scene.tris, best_prim, org_raw, dirn_raw,
+                              t_min, jnp.full_like(t_max, BIG_T))
+    best_t = jnp.where(tri_hit, t2, best_t)
+    best_u = jnp.where(tri_hit, u2, best_u)
+    best_v = jnp.where(tri_hit, v2, best_v)
+
+    return finalize_hit(scene, org_raw, dirn_raw, t_min, t_max,
                         tri_hit, best_t, best_prim, best_u, best_v)

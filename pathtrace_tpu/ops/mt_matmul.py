@@ -165,14 +165,24 @@ def raycast_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray,
     import jax
 
     assert scene.mt is not None, "scene has no MT coeffs; call Scene.with_mt()"
-    # Geometry detach, same rationale as raycast_bvh.
-    org = jax.lax.stop_gradient(org)
-    dirn = jax.lax.stop_gradient(dirn)
+    # The SELECTION (which prim, hit/miss) is discrete and detached; the
+    # hit attributes are then recomputed differentiably at the chosen prim
+    # so transport gradients (hit point moving with the sampled direction)
+    # flow - matching the reparameterized estimator the FD oracle sees.
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
     r = org.shape[0]
     if t_min is None:
         t_min = jnp.zeros((r,), jnp.float32)
     if t_max is None:
         t_max = jnp.full((r,), BIG_T, jnp.float32)
-    hit, best_t, idx, u, v = mt_matmul_closest(scene.mt, org, dirn, t_min,
-                                               t_max)
+    hit, best_t, idx, u, v = mt_matmul_closest(
+        scene.mt, org_d, dirn_d, jax.lax.stop_gradient(t_min),
+        jax.lax.stop_gradient(t_max))
+    from pathtrace_tpu.ops.intersect import mt_gather
+    t2, u2, v2, _ = mt_gather(scene.tris, idx, org, dirn, t_min,
+                              jnp.full_like(t_max, BIG_T))
+    best_t = jnp.where(hit, t2, best_t)
+    u = jnp.where(hit, u2, u)
+    v = jnp.where(hit, v2, v)
     return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx, u, v)
