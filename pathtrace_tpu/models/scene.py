@@ -220,8 +220,9 @@ class Scene:
     spheres: Spheres
     lights: jnp.ndarray   # (L,) int32 indices into tris
     num_lights: int
-    bvh: object = None    # Optional[BVHArrays]
-    mt: object = None     # Optional[MTCoeffs] - MXU-matmul intersection path
+    bvh: object = None       # Optional[BVHArrays]
+    mt: object = None        # Optional[MTCoeffs] - MXU-matmul intersection
+    clusters: object = None  # Optional[ClusterArrays] - binned traversal
 
     @property
     def num_tris(self) -> int:
@@ -281,3 +282,19 @@ class Scene:
             [np.asarray(self.tris.v0), np.asarray(self.tris.v1),
              np.asarray(self.tris.v2)], axis=1)
         return dataclasses.replace(self, mt=build_mt_coeffs(positions))
+
+    def with_binned(self, max_tris: int = 128) -> "Scene":
+        """Build the two-level binned traversal structure (accel/binned.py);
+        implies with_bvh() (clusters are BVH subtrees) and with_mt() (exact
+        fallback for cluster-cap overflow rays)."""
+        import dataclasses
+        from pathtrace_tpu.accel.binned import build_clusters
+
+        scene = self if self.bvh is not None else self.with_bvh()
+        if scene.mt is None:
+            scene = scene.with_mt()
+        positions = np.stack(
+            [np.asarray(scene.tris.v0), np.asarray(scene.tris.v1),
+             np.asarray(scene.tris.v2)], axis=1)
+        clusters = build_clusters(scene.bvh, positions, max_tris=max_tris)
+        return dataclasses.replace(scene, clusters=clusters)
