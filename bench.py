@@ -33,15 +33,24 @@ def main():
     lanes = int(os.environ.get("BENCH_LANES", 131072))
 
     scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
+    scene = scene.to_device()  # ONE batched transfer (eager per-leaf
+    # uploads through the remote-TPU tunnel cost seconds each)
     camera = procedural.default_camera(w, h)
     cfg = IntegratorConfig()
     key = rng.make_key(0)
 
-    # warmup/compile at small spp, then timed run
-    img, _ = render_wavefront_stats(scene, camera, 4, key, cfg, lanes)
+    # warmup/compile at small spp (spp/offset are traced: ONE compilation
+    # serves everything - remote XLA compiles cost minutes here), then a
+    # chunked timed run (single launches running minutes get killed by the
+    # device runtime watchdog).
+    from pathtrace_tpu.integrator.wavefront import render_wavefront_chunked
+
+    img, _ = render_wavefront_stats(scene, camera, jnp.int32(4), key, cfg,
+                                    lanes)
     img.block_until_ready()
     t0 = time.perf_counter()
-    img, nrays = render_wavefront_stats(scene, camera, spp, key, cfg, lanes)
+    img, nrays = render_wavefront_chunked(scene, camera, spp, key, cfg,
+                                          lanes, chunk_spp=64)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -118,10 +118,10 @@ def build_clusters(bvh: BVHArrays, positions_reordered: np.ndarray,
         tiles[k, :, :cnt, :] = stacked[:, s:s + cnt, :]
 
     return ClusterArrays(
-        bmin=jnp.asarray(cl_bmin), bmax=jnp.asarray(cl_bmax),
-        prim_start=jnp.asarray(cl_start.astype(np.int32)),
-        prim_count=jnp.asarray(cl_count.astype(np.int32)),
-        coeffs=jnp.asarray(tiles),
+        bmin=cl_bmin, bmax=cl_bmax,
+        prim_start=cl_start.astype(np.int32),
+        prim_count=cl_count.astype(np.int32),
+        coeffs=tiles,
         num_clusters=m, cluster_cap=c,
     )
 

@@ -86,11 +86,11 @@ def build_bvh(positions: np.ndarray, leaf_size: int = LEAF_SIZE,
             (bmin, bmax, next_hit, next_miss, prim_start, prim_count,
              prim_order, max_depth) = out
             bvh = BVHArrays(
-                bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
-                next_hit=jnp.asarray(next_hit),
-                next_miss=jnp.asarray(next_miss),
-                prim_start=jnp.asarray(prim_start),
-                prim_count=jnp.asarray(prim_count),
+                bmin=bmin, bmax=bmax,
+                next_hit=next_hit,
+                next_miss=next_miss,
+                prim_start=prim_start,
+                prim_count=prim_count,
                 num_nodes=bmin.shape[0],
                 max_leaf=int(prim_count.max()) if prim_count.size else 0,
                 max_depth=max_depth,
@@ -199,9 +199,9 @@ def build_bvh(positions: np.ndarray, leaf_size: int = LEAF_SIZE,
     assert prim_cursor == t
     max_leaf = int(prim_count.max()) if n_nodes else 0
     bvh = BVHArrays(
-        bmin=jnp.asarray(bmin), bmax=jnp.asarray(bmax),
-        next_hit=jnp.asarray(next_hit), next_miss=jnp.asarray(next_miss),
-        prim_start=jnp.asarray(prim_start), prim_count=jnp.asarray(prim_count),
+        bmin=bmin, bmax=bmax,
+        next_hit=next_hit, next_miss=next_miss,
+        prim_start=prim_start, prim_count=prim_count,
         num_nodes=n_nodes, max_leaf=max_leaf,
         max_depth=int(max(nodes_depth)) if nodes_depth else 0,
     )

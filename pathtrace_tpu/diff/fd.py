@@ -22,7 +22,8 @@ from pathtrace_tpu.models.scene import Scene
 
 
 def _perturb(mat, field: str, index, h: float):
-    arr = getattr(mat, field)
+    # leaves may be numpy (host-built scenes) or jax arrays
+    arr = jnp.asarray(getattr(mat, field))
     flat_idx = index if isinstance(index, tuple) else (index,)
     plus = arr.at[flat_idx].add(h)
     minus = arr.at[flat_idx].add(-h)

@@ -49,11 +49,20 @@ def _regen_rays(camera: Camera, path_idx, base_key, num_pix):
     return org, dirs, pixel
 
 
-def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
-                  cfg: IntegratorConfig, lanes: int):
+def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
+                  cfg: IntegratorConfig, lanes: int, sample_offset=0):
+    """spp and sample_offset may be TRACED scalars: they only feed the
+    dynamic while_loop bound and the path-id arithmetic, so one
+    compilation serves every sample count and chunk (remote XLA compiles
+    cost minutes here, and the device runtime kills single launches that
+    run for many minutes - chunked launches share this program).
+
+    Path ids span [sample_offset*num_pix, (sample_offset+spp)*num_pix).
+    """
     num_pix = camera.width * camera.height
+    spp = jnp.asarray(spp, jnp.int32)
+    base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
     total_paths = num_pix * spp
-    lanes = min(lanes, total_paths)
 
     from pathtrace_tpu.integrator.megakernel import default_raycast
     raycast_fn = partial(default_raycast(scene), scene)
@@ -62,8 +71,10 @@ def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
 
     film = jnp.zeros((num_pix, 3), jnp.float32)
 
-    init_ids = jnp.arange(lanes, dtype=jnp.int32)
+    local0 = jnp.arange(lanes, dtype=jnp.int32)
+    init_ids = base_path + local0
     org0, dir0, pixel0 = _regen_rays(camera, init_ids, base_key, num_pix)
+    alive0 = local0 < total_paths  # lanes may exceed tiny pools
 
     state = dict(
         film=film,
@@ -73,7 +84,7 @@ def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
         depth=jnp.zeros((lanes,), jnp.int32),
         refract_cnt=jnp.zeros((lanes,), jnp.int32),
         refracted=jnp.zeros((lanes,), bool),
-        alive=jnp.ones((lanes,), bool),
+        alive=alive0,
         ray_ids=init_ids,
         pixel=pixel0,
         lane_iter=jnp.zeros((lanes,), jnp.int32),
@@ -97,9 +108,9 @@ def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
 
         # --- regeneration: dead lanes pull consecutive fresh paths
         slot = jnp.cumsum(died.astype(jnp.int32)) - 1
-        new_idx = s["next_path"] + slot
-        regen = died & (new_idx < total_paths)
-        new_idx_safe = jnp.where(regen, new_idx, 0)
+        new_local = s["next_path"] + slot
+        regen = died & (new_local < total_paths)
+        new_idx_safe = jnp.where(regen, base_path + new_local, 0)
         r_org, r_dir, r_pixel = _regen_rays(camera, new_idx_safe, base_key,
                                             num_pix)
 
@@ -122,21 +133,51 @@ def _run_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
         )
 
     state = jax.lax.while_loop(cond, body, state)
-    img = state["film"].reshape(camera.height, camera.width, 3) / spp
+    img = (state["film"].reshape(camera.height, camera.width, 3)
+           / spp.astype(jnp.float32))
     return img, state["rays"]
 
 
-@partial(jax.jit, static_argnames=("spp", "cfg", "lanes"))
-def render_wavefront(scene: Scene, camera: Camera, spp: int, base_key,
+@partial(jax.jit, static_argnames=("cfg", "lanes"))
+def render_wavefront(scene: Scene, camera: Camera, spp, base_key,
                      cfg: IntegratorConfig = IntegratorConfig(),
-                     lanes: int = 65536):
-    """(H, W, 3) mean radiance. `lanes` = persistent wavefront width."""
-    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes)[0]
+                     lanes: int = 65536, sample_offset=0):
+    """(H, W, 3) mean radiance. `lanes` = persistent wavefront width;
+    spp/sample_offset may be traced (one compile serves all counts)."""
+    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes,
+                          sample_offset)[0]
 
 
-@partial(jax.jit, static_argnames=("spp", "cfg", "lanes"))
-def render_wavefront_stats(scene: Scene, camera: Camera, spp: int, base_key,
+@partial(jax.jit, static_argnames=("cfg", "lanes"))
+def render_wavefront_stats(scene: Scene, camera: Camera, spp, base_key,
                            cfg: IntegratorConfig = IntegratorConfig(),
-                           lanes: int = 65536):
+                           lanes: int = 65536, sample_offset=0):
     """(image, total rays traced) - for the throughput benchmark."""
-    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes)
+    return _run_wavefront(scene, camera, spp, base_key, cfg, lanes,
+                          sample_offset)
+
+
+def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
+                             base_key,
+                             cfg: IntegratorConfig = IntegratorConfig(),
+                             lanes: int = 65536,
+                             chunk_spp: int = 64):
+    """Multi-launch wavefront render: chunks of chunk_spp samples per
+    device program launch (the remote TPU runtime aborts single launches
+    that run for minutes), all sharing one compiled program. Returns
+    ((H, W, 3) image, total rays traced)."""
+    num_pix = camera.width * camera.height
+    total = 0
+    img_sum = None
+    rays_total = 0.0
+    done = 0
+    while done < spp:
+        cur = min(chunk_spp, spp - done)
+        img, nrays = render_wavefront_stats(
+            scene, camera, jnp.int32(cur), base_key, cfg, lanes,
+            jnp.int32(done))
+        img = img * cur
+        img_sum = img if img_sum is None else img_sum + img
+        rays_total += float(nrays)
+        done += cur
+    return img_sum / spp, rays_total

@@ -110,8 +110,8 @@ def load_scene_dict(doc: dict, base_dir: str = ".",
     spheres = Spheres.empty()
     if sphere_centers:
         spheres = Spheres(
-            center=jnp.asarray(sphere_centers, jnp.float32),
-            radius=jnp.asarray(sphere_radii, jnp.float32),
+            center=np.asarray(sphere_centers, np.float32),
+            radius=np.asarray(sphere_radii, np.float32),
             mat=Material.stack(sphere_mats),
         )
 

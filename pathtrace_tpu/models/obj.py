@@ -183,10 +183,6 @@ def obj_to_arrays(mesh: ObjMesh, translation=(0, 0, 0), scale=1.0):
         roughness=np.asarray([m.roughness for m in mats], np.float32),
         metallic=np.asarray([m.metallic for m in mats], np.float32),
     )
-    import jax.numpy as jnp
-    mat = Material(**{k: jnp.asarray(getattr(mat, k))
-                      for k in ("emittance", "albedo", "specular", "opacity",
-                                "roughness", "metallic")})
     return pos.astype(np.float32), normals, mesh.uvs, mat
 
 

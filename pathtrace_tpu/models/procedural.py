@@ -229,8 +229,8 @@ def reference_demo_spheres() -> Spheres:
     m2 = Material.make(1, albedo=(1, 1, 1), specular=(0.04, 0.04, 0.04),
                        metallic=1.0, opacity=0.0, roughness=0.05)
     return Spheres(
-        center=jnp.asarray([[0.0, 0.0, 0.0], [0.0, 39.0, 0.0]], jnp.float32),
-        radius=jnp.asarray([13.0, 13.0], jnp.float32),
+        center=np.asarray([[0.0, 0.0, 0.0], [0.0, 39.0, 0.0]], np.float32),
+        radius=np.asarray([13.0, 13.0], np.float32),
         mat=Material.stack([m1, m2]),
     )
 
@@ -264,8 +264,8 @@ def glass_scene(light_emit=LIGHT_EMIT) -> Scene:
     glass = Material.make(1, albedo=(1.0, 1.0, 1.0), specular=(0.04,) * 3,
                           metallic=0.0, opacity=0.0, roughness=0.0)
     spheres = Spheres(
-        center=jnp.asarray([[-8.0, 8.0, -4.0], [8.0, 8.0, 5.0]], jnp.float32),
-        radius=jnp.asarray([8.0, 8.0], jnp.float32),
+        center=np.asarray([[-8.0, 8.0, -4.0], [8.0, 8.0, 5.0]], np.float32),
+        radius=np.asarray([8.0, 8.0], np.float32),
         mat=Material.stack([metal, glass]),
     )
     return Scene.build(tris, mat, spheres)

@@ -43,8 +43,12 @@ class Material:
 
     @staticmethod
     def stack(mats: list["Material"]) -> "Material":
+        # numpy when all inputs are host-side (scene build must not issue
+        # eager device ops - each one is a multi-second tunnel dispatch on
+        # the remote TPU), jnp otherwise.
+        xp = np if all(isinstance(m.emittance, np.ndarray) for m in mats) else jnp
         return Material(
-            *[jnp.concatenate([getattr(m, f) for m in mats], axis=0)
+            *[xp.concatenate([getattr(m, f) for m in mats], axis=0)
               for f in ("emittance", "albedo", "specular", "opacity",
                         "roughness", "metallic")]
         )
@@ -57,14 +61,14 @@ class Material:
              opacity=1.0,
              roughness=1.0,
              metallic=0.0) -> "Material":
-        f = jnp.float32
+        f = np.float32
         return Material(
-            emittance=jnp.broadcast_to(jnp.asarray(emittance, f), (n, 3)),
-            albedo=jnp.broadcast_to(jnp.asarray(albedo, f), (n, 3)),
-            specular=jnp.broadcast_to(jnp.asarray(specular, f), (n, 3)),
-            opacity=jnp.full((n,), opacity, f),
-            roughness=jnp.full((n,), roughness, f),
-            metallic=jnp.full((n,), metallic, f),
+            emittance=np.broadcast_to(np.asarray(emittance, f), (n, 3)).copy(),
+            albedo=np.broadcast_to(np.asarray(albedo, f), (n, 3)).copy(),
+            specular=np.broadcast_to(np.asarray(specular, f), (n, 3)).copy(),
+            opacity=np.full((n,), opacity, f),
+            roughness=np.full((n,), roughness, f),
+            metallic=np.full((n,), metallic, f),
         )
 
     def gather(self, idx: jnp.ndarray) -> "Material":
@@ -144,7 +148,7 @@ class Triangles:
             tangents, bitangents = tangent_frame_from_normals(normals)
         if uvs is None:
             uvs = np.zeros((t, 3, 2), np.float32)
-        j = jnp.asarray
+        j = lambda a: np.ascontiguousarray(a, np.float32)
         return Triangles(
             v0=j(positions[:, 0]), v1=j(positions[:, 1]), v2=j(positions[:, 2]),
             n0=j(normals[:, 0]), n1=j(normals[:, 1]), n2=j(normals[:, 2]),
@@ -196,8 +200,8 @@ class Spheres:
     @staticmethod
     def empty() -> "Spheres":
         return Spheres(
-            center=jnp.zeros((0, 3), jnp.float32),
-            radius=jnp.zeros((0,), jnp.float32),
+            center=np.zeros((0, 3), np.float32),
+            radius=np.zeros((0,), np.float32),
             mat=Material.make(0),
         )
 
@@ -245,9 +249,9 @@ class Scene:
         if lights.size == 0:
             # Keep shapes static & nonzero; with num_lights==0 the
             # integrator skips NEE entirely.
-            lights_arr = jnp.zeros((1,), jnp.int32)
+            lights_arr = np.zeros((1,), np.int32)
         else:
-            lights_arr = jnp.asarray(lights)
+            lights_arr = lights
         return Scene(
             tris=tris, mat=mat, spheres=spheres,
             lights=lights_arr, num_lights=int(lights.size),
@@ -263,8 +267,7 @@ class Scene:
             [np.asarray(self.tris.v0), np.asarray(self.tris.v1),
              np.asarray(self.tris.v2)], axis=1)
         bvh, order = build_bvh(positions, leaf_size=leaf_size)
-        order = jnp.asarray(order)
-        tri_fields = {f.name: getattr(self.tris, f.name)[order]
+        tri_fields = {f.name: np.asarray(getattr(self.tris, f.name))[order]
                       for f in dataclasses.fields(Triangles)}
         tris = Triangles(**tri_fields)
         mat = self.mat.gather(order)
@@ -282,6 +285,14 @@ class Scene:
             [np.asarray(self.tris.v0), np.asarray(self.tris.v1),
              np.asarray(self.tris.v2)], axis=1)
         return dataclasses.replace(self, mt=build_mt_coeffs(positions))
+
+    def to_device(self) -> "Scene":
+        """Ship the whole scene to the default device in one batched
+        transfer. Call once after building; without it numpy leaves are
+        re-uploaded on every jit call (and on the remote-tunnel TPU each
+        upload costs seconds)."""
+        import jax
+        return jax.device_put(self)
 
     def with_binned(self, max_tris: int = 128) -> "Scene":
         """Build the two-level binned traversal structure (accel/binned.py);

@@ -116,11 +116,8 @@ def build_mt_coeffs(positions: np.ndarray, pad_to: int = 128,
     mp[:, :t] = m.astype(np.float32)
     # padding tris: det coeffs all zero -> det = 0 < EPS -> culled.
     return MTCoeffs(
-        det=jnp.asarray(mp[..., 0]),
-        t_num=jnp.asarray(mp[..., 1]),
-        u_num=jnp.asarray(mp[..., 2]),
-        v_num=jnp.asarray(mp[..., 3]),
-        num_tris=t,
+        det=mp[..., 0], t_num=mp[..., 1], u_num=mp[..., 2],
+        v_num=mp[..., 3], num_tris=t,
     )
 
 

@@ -114,3 +114,21 @@ def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.reciprocal(jnp.sqrt(jnp.maximum(x, TINY)))
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                onehot_threshold: int = 1024) -> jnp.ndarray:
+    """table[idx] for (N, ...) tables and (R,) int indices.
+
+    For small tables this uses an exact one-hot matmul (0/1 weights), which
+    maps to the MXU instead of XLA's serial gather lowering on TPU; for
+    large tables it falls back to a plain take.
+    """
+    import jax
+    n = table.shape[0]
+    if n == 0 or n > onehot_threshold:
+        return table[idx]
+    flat = table.reshape(n, -1)
+    onehot = jax.nn.one_hot(idx, n, dtype=flat.dtype)
+    out = jnp.dot(onehot, flat, preferred_element_type=flat.dtype)
+    return out.reshape(idx.shape + table.shape[1:])

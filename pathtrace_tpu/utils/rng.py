@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NUM_COLS = 8
 
@@ -39,15 +40,15 @@ NUM_COLS = 8
 # philox here fuses into the surrounding kernel.
 # ---------------------------------------------------------------------------
 
-_PHILOX_M0 = jnp.uint32(0xD2511F53)
-_PHILOX_M1 = jnp.uint32(0xCD9E8D57)
-_PHILOX_W0 = jnp.uint32(0x9E3779B9)
-_PHILOX_W1 = jnp.uint32(0xBB67AE85)
+_PHILOX_M0 = np.uint32(0xD2511F53)
+_PHILOX_M1 = np.uint32(0xCD9E8D57)
+_PHILOX_W0 = np.uint32(0x9E3779B9)
+_PHILOX_W1 = np.uint32(0xBB67AE85)
 
 
 def _mulhilo(a, b):
     """32x32 -> (hi, lo) without uint64 (x64 mode stays off): 16-bit limbs."""
-    mask = jnp.uint32(0xFFFF)
+    mask = np.uint32(0xFFFF)
     a0, a1 = a & mask, a >> 16
     b0, b1 = b & mask, b >> 16
     lo_lo = a0 * b0
@@ -92,21 +93,21 @@ COL_RR = 6
 
 def make_key(seed: int) -> jax.Array:
     """Key = uint32[2] philox key derived from the integer seed."""
-    s = jnp.uint32(seed & 0xFFFFFFFF)
-    s2 = jnp.uint32((seed >> 32) & 0xFFFFFFFF) ^ jnp.uint32(0xA5A5A5A5)
-    return jnp.stack([s, s2])
+    s = np.uint32(seed & 0xFFFFFFFF)
+    s2 = np.uint32((seed >> 32) & 0xFFFFFFFF) ^ np.uint32(0xA5A5A5A5)
+    return jnp.asarray(np.stack([s, s2]))
 
 
 def iter_key(base_key: jax.Array, tag) -> jax.Array:
     """Derive an independent subkey (e.g. per render pass)."""
-    t = jnp.asarray(tag, jnp.uint32)
-    c0, c1, _, _ = philox4x32(t, jnp.uint32(0x5EEDF01D), jnp.uint32(0),
-                              jnp.uint32(1), base_key[0], base_key[1])
+    t = jnp.asarray(tag).astype(jnp.uint32)
+    c0, c1, _, _ = philox4x32(t, np.uint32(0x5EEDF01D), np.uint32(0),
+                              np.uint32(1), base_key[0], base_key[1])
     return jnp.stack([c0, c1])
 
 
-_STREAM_PATH = jnp.uint32(0x50415448)    # "PATH": bounce-loop draws
-_STREAM_JITTER = jnp.uint32(0x4A495454)  # "JITT": subpixel jitter
+_STREAM_PATH = np.uint32(0x50415448)    # "PATH": bounce-loop draws
+_STREAM_JITTER = np.uint32(0x4A495454)  # "JITT": subpixel jitter
 
 
 def uniforms(base_key: jax.Array, ray_ids: jnp.ndarray, iteration,

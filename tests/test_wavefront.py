@@ -35,3 +35,19 @@ def test_wavefront_with_spheres_and_bvh():
     a = np.asarray(render(scene, cam, 2, key))
     b = np.asarray(render_wavefront(scene, cam, 2, key, lanes=128))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_matches_single():
+    """Chunked multi-launch rendering equals one launch (same path ids)."""
+    import jax.numpy as jnp
+    from pathtrace_tpu.integrator.wavefront import (render_wavefront_chunked,
+                                                    render_wavefront_stats)
+
+    scene = procedural.cornell_box_scene()
+    cam = procedural.default_camera(8, 8)
+    key = rng.make_key(3)
+    one, _ = render_wavefront_stats(scene, cam, jnp.int32(8), key, lanes=256)
+    chunked, _ = render_wavefront_chunked(scene, cam, 8, key, lanes=256,
+                                          chunk_spp=3)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)
