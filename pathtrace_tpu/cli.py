@@ -34,6 +34,7 @@ def cmd_render(args) -> int:
     camera = procedural.default_camera(w, h)
     passes = max(args.passes, 1)
     spp_per_pass = max(spp // passes, 1)
+    use_wavefront = args.engine == "wavefront"
 
     start_pass = 0
     accum = jnp.zeros((h, w, 3), jnp.float32)
@@ -50,8 +51,15 @@ def cmd_render(args) -> int:
     for p in range(start_pass, passes):
         t0 = time.perf_counter()
         pass_key = rng.iter_key(key, 1000 + p)
-        accum = accum + render(scene, camera, spp_per_pass, pass_key,
-                               preset.cfg)
+        if use_wavefront:
+            from pathtrace_tpu.integrator.wavefront import (
+                render_wavefront_chunked)
+            pass_img, _ = render_wavefront_chunked(
+                scene, camera, spp_per_pass, pass_key, preset.cfg)
+        else:
+            pass_img = render(scene, camera, spp_per_pass, pass_key,
+                              preset.cfg)
+        accum = accum + pass_img
         accum.block_until_ready()
         dt = time.perf_counter() - t0
         # per-pass telemetry like the reference (pathtracer.cu:243)
@@ -137,6 +145,8 @@ def main(argv=None) -> int:
     pr.add_argument("--out-npy", default="")
     pr.add_argument("--checkpoint", default="")
     pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--engine", default="wavefront",
+                    choices=("wavefront", "megakernel"))
     pr.set_defaults(fn=cmd_render)
 
     pg = sub.add_parser("grad-check", help="autodiff vs FD oracle")

@@ -91,8 +91,15 @@ def get_preset(name: str) -> Preset:
     return PRESETS[name]
 
 
-def build_preset_scene(preset: Preset):
+def build_preset_scene(preset: Preset, to_device: bool = True):
     scene = preset.build_scene()
     if preset.use_bvh:
-        scene = scene.with_bvh()
+        # accel structure by scene size: MT-matmul handles small scenes
+        # outright; large ones get the binned two-level traversal.
+        if scene.num_tris > 4096:
+            scene = scene.with_binned()
+        else:
+            scene = scene.with_bvh().with_mt()
+    if to_device:
+        scene = scene.to_device()
     return scene
