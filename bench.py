@@ -45,8 +45,11 @@ def main():
     # device runtime watchdog).
     from pathtrace_tpu.integrator.wavefront import render_wavefront_chunked
 
-    img, _ = render_wavefront_stats(scene, camera, jnp.int32(4), key, cfg,
-                                    lanes)
+    # warmup MUST go through the same jitted chunk program as the timed
+    # run (a different wrapper would hide a second multi-minute remote
+    # compile inside the timed region)
+    img, _ = render_wavefront_chunked(scene, camera, 4, key, cfg, lanes,
+                                      chunk_spp=4)
     img.block_until_ready()
     t0 = time.perf_counter()
     img, nrays = render_wavefront_chunked(scene, camera, spp, key, cfg,

@@ -57,6 +57,10 @@ def raycast_bvh(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
     """Drop-in replacement for raycast_brute using scene.bvh."""
     bvh = scene.bvh
     assert bvh is not None, "scene has no BVH; call Scene.with_bvh()"
+    # host-built scenes carry numpy leaves; the while_loop body indexes
+    # them with tracers, which requires device arrays
+    bvh = jax.tree.map(jnp.asarray, bvh)
+    tris_dev = jax.tree.map(jnp.asarray, scene.tris)
     # The while_loop (discrete traversal/selection) sees detached rays
     # (lax.while_loop is not reverse-differentiable); hit attributes are
     # recomputed differentiably at the chosen prim afterwards so transport
@@ -95,7 +99,7 @@ def raycast_bvh(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
             valid_k = leaf_visit & (k < pcnt)
             pid = jnp.where(valid_k, pstart + k, 0)
             cur_max = jnp.where(tri_hit, best_t, t_max)
-            t, u, v, ok = mt_gather(scene.tris, pid, org, dirn, t_min, cur_max)
+            t, u, v, ok = mt_gather(tris_dev, pid, org, dirn, t_min, cur_max)
             better = valid_k & ok
             best_t = jnp.where(better, t, best_t)
             best_prim = jnp.where(better, pid, best_prim)

@@ -70,11 +70,14 @@ class Camera:
         aspect = width / height
         # fovx from fovy and aspect (pathtracer.cu:198)
         fovx = 2.0 * math.atan2(math.tan(fovy * 0.5) * aspect, 1.0)
-        f = jnp.float32
+        # numpy leaves: camera construction must not issue eager device ops
+        # (multi-second dispatches over the remote-TPU tunnel); values ride
+        # along with jit calls.
+        f = np.float32
         return Camera(
-            pos=jnp.asarray(pos, f), forward=jnp.asarray(forward, f),
-            up=jnp.asarray(up, f), right=jnp.asarray(right, f),
-            fovy=jnp.asarray(fovy, f), fovx=jnp.asarray(fovx, f),
+            pos=np.asarray(pos, f), forward=np.asarray(forward, f),
+            up=np.asarray(up, f), right=np.asarray(right, f),
+            fovy=f(fovy), fovx=f(fovx),
             width=int(width), height=int(height),
         )
 

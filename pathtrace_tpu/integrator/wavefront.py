@@ -157,6 +157,18 @@ def render_wavefront_stats(scene: Scene, camera: Camera, spp, base_key,
                           sample_offset)
 
 
+@partial(jax.jit, static_argnames=("cfg", "lanes"))
+def _chunk_accum(scene, camera, film, rays, spp_chunk, offset, base_key,
+                 cfg, lanes):
+    """One chunk launch that also folds accumulation into the program -
+    NO eager device ops between launches (each eager op is a multi-second
+    dispatch over the remote-TPU tunnel)."""
+    img, nrays = _run_wavefront(scene, camera, spp_chunk, base_key, cfg,
+                                lanes, offset)
+    film = film + img * jnp.asarray(spp_chunk, jnp.float32)
+    return film, rays + nrays
+
+
 def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
                              base_key,
                              cfg: IntegratorConfig = IntegratorConfig(),
@@ -166,18 +178,16 @@ def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
     device program launch (the remote TPU runtime aborts single launches
     that run for minutes), all sharing one compiled program. Returns
     ((H, W, 3) image, total rays traced)."""
-    num_pix = camera.width * camera.height
-    total = 0
-    img_sum = None
-    rays_total = 0.0
+    import numpy as np
+
+    film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
+    rays = jnp.zeros((), jnp.float32)
     done = 0
     while done < spp:
         cur = min(chunk_spp, spp - done)
-        img, nrays = render_wavefront_stats(
-            scene, camera, jnp.int32(cur), base_key, cfg, lanes,
-            jnp.int32(done))
-        img = img * cur
-        img_sum = img if img_sum is None else img_sum + img
-        rays_total += float(nrays)
+        film, rays = _chunk_accum(scene, camera, film, rays,
+                                  np.int32(cur), np.int32(done), base_key,
+                                  cfg, lanes)
         done += cur
-    return img_sum / spp, rays_total
+    # single host fetch + host-side normalization
+    return jnp.asarray(np.asarray(film) / spp), float(rays)
