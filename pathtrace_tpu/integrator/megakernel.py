@@ -50,7 +50,10 @@ def _maybe_detach(x, cfg: IntegratorConfig):
 
 def default_raycast(scene: Scene):
     """Pick the best available intersection backend for this scene:
-    MXU-matmul coefficients > BVH traversal > brute force."""
+    binned clusters > MXU-matmul coefficients > BVH traversal > brute."""
+    if scene.clusters is not None:
+        from pathtrace_tpu.accel.binned import raycast_binned
+        return raycast_binned
     if scene.mt is not None:
         from pathtrace_tpu.ops.mt_matmul import raycast_matmul
         return raycast_matmul
@@ -60,9 +63,32 @@ def default_raycast(scene: Scene):
     return raycast_brute
 
 
+def default_shadow_raycast(scene: Scene):
+    """Shadow-ray backend: (org, dir, t_min, t_max) -> (hit, p, emittance).
+
+    NEE only needs the hit point and the hit emittance (GetLightColor,
+    CudaUtil.cuh:150-166); these lean paths skip the full attribute
+    interpolation of the primary raycast."""
+    from pathtrace_tpu.ops.intersect import shadow_brute
+
+    if scene.mt is not None and scene.clusters is None:
+        from pathtrace_tpu.ops.mt_matmul import shadow_matmul
+        return shadow_matmul
+
+    full = default_raycast(scene)
+
+    def adapter(sc, o, d, tn, tx):
+        hitrec = full(sc, o, d, tn, tx)
+        return hitrec.hit, hitrec.p, hitrec.mat.emittance
+
+    if scene.clusters is not None or scene.bvh is not None:
+        return adapter
+    return shadow_brute
+
+
 def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
                      wo: jnp.ndarray, draws: jnp.ndarray,
-                     raycast_fn, cfg: IntegratorConfig) -> jnp.ndarray:
+                     shadow_fn, cfg: IntegratorConfig) -> jnp.ndarray:
     """Next-event estimation for one bounce of the whole batch.
 
     Mirrors CudaUtil.cuh:234-272: uniform light pick, area sampling
@@ -94,11 +120,11 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
 
     # Shadow ray: origin ON the surface, t_min = 0, t_max = dist + 1
     # (GetLightColor) - backface culling prevents self-hit.
-    shadow = raycast_fn(
+    s_hit, s_p, s_emit = shadow_fn(
         jax.lax.stop_gradient(hit.p), jax.lax.stop_gradient(sdir),
         jnp.zeros_like(dist), jax.lax.stop_gradient(dist) + 1.0)
-    reached = shadow.hit & (math3.length(shadow.p - point) < EPS)
-    light_color = jnp.where(reached[:, None], shadow.mat.emittance, 0.0)
+    reached = s_hit & (math3.length(s_p - point) < EPS)
+    light_color = jnp.where(reached[:, None], s_emit, 0.0)
 
     cos_a = jnp.maximum(dot(light_normal, normalize(hit.p - point)), 0.0)
     pdf_light = math3.safe_div(jnp.ones_like(area), area) / nl
@@ -111,7 +137,8 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     return jnp.where(finite, contrib, 0.0)
 
 
-def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key):
+def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
+                   shadow_fn=None):
     """Core one-bounce transition shared by the lockstep megakernel and the
     regenerating wavefront pipeline.
 
@@ -119,6 +146,9 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key):
     (ray_id, lane_iter) always draws the same randomness, so both
     integrators realize the identical estimator per path.
     """
+    if shadow_fn is None:
+        sf = default_shadow_raycast(scene)
+        shadow_fn = lambda o, d, tn, tx: sf(scene, o, d, tn, tx)
 
     def bounce(org, dirn, radiance, weight, depth, refract_cnt, refracted,
                alive, ray_ids, lane_iter):
@@ -147,7 +177,7 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key):
         shadow_rays = 0
         if cfg.nee and scene.num_lights > 0:
             contrib = nee_contribution(scene, hit, frame, wo, draws,
-                                       raycast_fn, cfg)
+                                       shadow_fn, cfg)
             radiance = radiance + jnp.where(live_hit[:, None],
                                             weight * contrib, 0.0)
             shadow_rays = jnp.sum(live_hit.astype(jnp.int32))

@@ -263,3 +263,60 @@ def raycast_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
 
     return finalize_hit(scene, org, dirn, t_min, t_max,
                         tri_hit, best_t, tri_idx, tri_u, tri_v)
+
+
+def finalize_shadow(scene: Scene, org, dirn, t_min, t_max,
+                    tri_hit, best_t, tri_idx):
+    """Minimal closest-hit result for NEE shadow rays: (hit, p, emittance).
+
+    GetLightColor (CudaUtil.cuh:150-166) only consumes the hit point and
+    the hit material's emittance, so shadow rays skip the full attribute
+    interpolation + material gather of finalize_hit (~25 gathers).
+    The emittance gather stays differentiable (light_color gradients).
+    """
+    r = org.shape[0]
+    best_t = jnp.where(tri_hit, best_t, jnp.inf)
+    use_sphere = jnp.zeros((r,), bool)
+    sph_idx = jnp.zeros((r,), jnp.int32)
+    sph_t = jnp.full((r,), jnp.inf, jnp.float32)
+    if scene.num_spheres > 0:
+        cur_max = jnp.where(tri_hit, best_t, t_max)
+        st, svalid = intersect_spheres_all(scene.spheres, org, dirn, t_min,
+                                           cur_max)
+        st_masked = jnp.where(svalid, st, jnp.inf)
+        sph_idx = jnp.argmin(st_masked, axis=1).astype(jnp.int32)
+        sph_t = jnp.take_along_axis(st_masked, sph_idx[:, None], axis=1)[:, 0]
+        sph_hit = jnp.isfinite(sph_t)
+        use_sphere = sph_hit & (~tri_hit | (sph_t < best_t))
+
+    hit = tri_hit | use_sphere
+    t_final = jnp.where(use_sphere, sph_t, best_t)
+    t_safe = jnp.where(hit, t_final, 0.0)
+    p = org + t_safe[:, None] * dirn
+
+    if scene.num_tris > 0:
+        emit = scene.mat.emittance[jnp.where(tri_hit, tri_idx, 0)]
+    else:
+        emit = jnp.zeros((r, 3), jnp.float32)
+    if scene.num_spheres > 0:
+        s_emit = scene.spheres.mat.emittance[jnp.where(use_sphere, sph_idx, 0)]
+        emit = jnp.where(use_sphere[:, None], s_emit, emit)
+    return hit, p, emit
+
+
+def shadow_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
+                 t_min, t_max):
+    """Brute-force shadow raycast -> (hit, p, emittance)."""
+    r = org.shape[0]
+    best_t = jnp.full((r,), jnp.inf, jnp.float32)
+    tri_idx = jnp.zeros((r,), jnp.int32)
+    tri_hit = jnp.zeros((r,), bool)
+    if scene.num_tris > 0:
+        t, valid, _, _ = intersect_tris_all(scene.tris, org, dirn, t_min,
+                                            t_max)
+        t_masked = jnp.where(valid, t, jnp.inf)
+        tri_idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+        best_t = jnp.take_along_axis(t_masked, tri_idx[:, None], axis=1)[:, 0]
+        tri_hit = jnp.isfinite(best_t)
+    return finalize_shadow(scene, org, dirn, t_min, t_max,
+                           tri_hit, jnp.where(tri_hit, best_t, 0.0), tri_idx)

@@ -183,3 +183,17 @@ def raycast_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray,
     u = jnp.where(hit, u2, u)
     v = jnp.where(hit, v2, v)
     return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx, u, v)
+
+
+def shadow_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray, t_min, t_max):
+    """MXU-matmul shadow raycast -> (hit, p, emittance)."""
+    from pathtrace_tpu.ops.intersect import finalize_shadow
+    import jax
+
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
+    hit, best_t, idx, _, _ = mt_matmul_closest(
+        scene.mt, org_d, dirn_d, jax.lax.stop_gradient(t_min),
+        jax.lax.stop_gradient(t_max))
+    return finalize_shadow(scene, org_d, dirn_d, t_min, t_max, hit, best_t,
+                           idx)
