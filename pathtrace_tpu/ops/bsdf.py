@@ -380,37 +380,46 @@ def pdf_pure_refractive(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 # Branchless dispatch over the four lobes (wavefront-friendly masked select;
 # the lobe-sorted wavefront pipeline shades each lobe densely instead).
+# Select chains, NOT stack+take_along_axis: per-row dynamic gathers lower
+# to serial kCustom fusions on TPU (profiled as a top integrator cost),
+# while nested where's stay dense VPU selects.
 # ---------------------------------------------------------------------------
+
+def _select4(lobe, v0, v1, v2, v3):
+    if v0.ndim > lobe.ndim:
+        lobe = lobe[:, None]
+    return jnp.where(
+        lobe == LOBE_GLTFPBR, v0,
+        jnp.where(lobe == LOBE_REFLECTIVE, v1,
+                  jnp.where(lobe == LOBE_REFRACTIVE, v2, v3)))
+
 
 def eval_bsdfcos(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
     lobe = select_lobe(mat)
-    vals = jnp.stack([
+    return _select4(
+        lobe,
         eval_gltfpbr(mat, frame, wo, wi),
         eval_reflective(mat, frame, wo, wi),
         eval_refractive(mat, frame, wo, wi),
-        eval_pure_refractive(mat, frame, wo, wi),
-    ], axis=0)
-    return jnp.take_along_axis(vals, lobe[None, :, None], axis=0)[0]
+        eval_pure_refractive(mat, frame, wo, wi))
 
 
 def sample_bsdf(mat: Material, frame: ShadeFrame, wo,
                 u_lobe, u_phi, u_ry) -> jnp.ndarray:
     lobe = select_lobe(mat)
-    vals = jnp.stack([
+    return _select4(
+        lobe,
         sample_gltfpbr(mat, frame, wo, u_lobe, u_phi, u_ry),
         sample_reflective(mat, frame, wo),
         sample_refractive(mat, frame, wo, u_lobe, u_phi, u_ry),
-        sample_pure_refractive(mat, frame, wo, u_lobe),
-    ], axis=0)
-    return jnp.take_along_axis(vals, lobe[None, :, None], axis=0)[0]
+        sample_pure_refractive(mat, frame, wo, u_lobe))
 
 
 def pdf_bsdf(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
     lobe = select_lobe(mat)
-    vals = jnp.stack([
+    return _select4(
+        lobe,
         pdf_gltfpbr(mat, frame, wo, wi),
         pdf_reflective(mat, frame, wo, wi),
         pdf_refractive(mat, frame, wo, wi),
-        pdf_pure_refractive(mat, frame, wo, wi),
-    ], axis=0)
-    return jnp.take_along_axis(vals, lobe[None, :], axis=0)[0]
+        pdf_pure_refractive(mat, frame, wo, wi))

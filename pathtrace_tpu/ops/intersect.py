@@ -29,6 +29,24 @@ from pathtrace_tpu.utils.pytree import pytree_dataclass
 
 BIG_T = 999999.0  # reference RayCast default t_max (CudaUtil.cuh:93)
 
+def closest_masked(t_masked: jnp.ndarray):
+    """(best_t, idx, hit) over a (R, N) matrix with inf marking invalid.
+
+    Dense reductions instead of argmin + take_along_axis (per-row dynamic
+    gathers lower to serial kCustom fusions on TPU; see ops/mt_matmul.py).
+    Ties break to the lowest index, matching argmin.
+    """
+    import jax
+    n = t_masked.shape[1]
+    best = jnp.min(t_masked, axis=1)
+    hit = jnp.isfinite(best)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+    finite = jnp.isfinite(t_masked)
+    idx = jnp.min(jnp.where(finite & (t_masked <= best[:, None]), lane, n),
+                  axis=1)
+    return best, jnp.minimum(idx, n - 1).astype(jnp.int32), hit
+
+
 
 @pytree_dataclass
 class HitRecord:
@@ -175,9 +193,7 @@ def finalize_hit(scene: Scene, org, dirn, t_min, t_max,
         st, svalid = intersect_spheres_all(scene.spheres, org, dirn, t_min,
                                            cur_max)
         st_masked = jnp.where(svalid, st, jnp.inf)
-        sph_idx = jnp.argmin(st_masked, axis=1).astype(jnp.int32)
-        sph_t = jnp.take_along_axis(st_masked, sph_idx[:, None], axis=1)[:, 0]
-        sph_hit = jnp.isfinite(sph_t)
+        sph_t, sph_idx, sph_hit = closest_masked(st_masked)
 
     use_sphere = sph_hit & (~tri_hit | (sph_t < best_t))
     hit = tri_hit | sph_hit
@@ -255,11 +271,12 @@ def raycast_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
         t, valid, u, v = intersect_tris_all(scene.tris, org, dirn, t_min,
                                             t_max)
         t_masked = jnp.where(valid, t, jnp.inf)
-        tri_idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-        best_t = jnp.take_along_axis(t_masked, tri_idx[:, None], axis=1)[:, 0]
-        tri_hit = jnp.isfinite(best_t)
-        take = lambda a: jnp.take_along_axis(a, tri_idx[:, None], axis=1)[:, 0]
-        tri_u, tri_v = take(u), take(v)
+        best_t, tri_idx, tri_hit = closest_masked(t_masked)
+        import jax as _jax
+        lane = _jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+        pick = lane == tri_idx[:, None]
+        tri_u = jnp.sum(jnp.where(pick, u, 0.0), axis=1)
+        tri_v = jnp.sum(jnp.where(pick, v, 0.0), axis=1)
 
     return finalize_hit(scene, org, dirn, t_min, t_max,
                         tri_hit, best_t, tri_idx, tri_u, tri_v)
@@ -284,9 +301,7 @@ def finalize_shadow(scene: Scene, org, dirn, t_min, t_max,
         st, svalid = intersect_spheres_all(scene.spheres, org, dirn, t_min,
                                            cur_max)
         st_masked = jnp.where(svalid, st, jnp.inf)
-        sph_idx = jnp.argmin(st_masked, axis=1).astype(jnp.int32)
-        sph_t = jnp.take_along_axis(st_masked, sph_idx[:, None], axis=1)[:, 0]
-        sph_hit = jnp.isfinite(sph_t)
+        sph_t, sph_idx, sph_hit = closest_masked(st_masked)
         use_sphere = sph_hit & (~tri_hit | (sph_t < best_t))
 
     hit = tri_hit | use_sphere
@@ -315,8 +330,6 @@ def shadow_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
         t, valid, _, _ = intersect_tris_all(scene.tris, org, dirn, t_min,
                                             t_max)
         t_masked = jnp.where(valid, t, jnp.inf)
-        tri_idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-        best_t = jnp.take_along_axis(t_masked, tri_idx[:, None], axis=1)[:, 0]
-        tri_hit = jnp.isfinite(best_t)
+        best_t, tri_idx, tri_hit = closest_masked(t_masked)
     return finalize_shadow(scene, org, dirn, t_min, t_max,
                            tri_hit, jnp.where(tri_hit, best_t, 0.0), tri_idx)

@@ -30,6 +30,7 @@ reference's exact semantics.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pathtrace_tpu.utils.pytree import pytree_dataclass
@@ -142,16 +143,23 @@ def mt_matmul_closest(coeffs: MTCoeffs, org: jnp.ndarray, dirn: jnp.ndarray,
     valid &= (u_num >= 0.0) & (u_num <= det)
     valid &= (v_num >= 0.0) & (u_num + v_num <= det)
 
+    # payload-carrying min WITHOUT argmin/take_along_axis: per-row dynamic
+    # gathers lower to serial kCustom fusions on TPU (profiled at >50% of
+    # integrator device time); dense masked reductions are ~40x cheaper.
     t_masked = jnp.where(valid, t, jnp.inf)
-    idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-    take = lambda a: jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
-    best_t = take(t_masked)
+    best_t = jnp.min(t_masked, axis=1)
     hit = jnp.isfinite(best_t)
-    u = take(u_num) * take(inv_det)
-    v = take(v_num) * take(inv_det)
-    # no-hit lanes may argmin into a padded column; keep the gather index
-    # in range of the unpadded attribute arrays.
-    idx = jnp.minimum(idx, coeffs.num_tris - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+    is_min = valid & (t_masked <= best_t[:, None])
+    idx = jnp.min(jnp.where(is_min, lane, t_masked.shape[1]), axis=1)
+    pick = lane == idx[:, None]
+
+    def at_min(x):
+        return jnp.sum(jnp.where(pick, x, 0.0), axis=1)
+
+    u = at_min(u_num * inv_det)
+    v = at_min(v_num * inv_det)
+    idx = jnp.minimum(idx, coeffs.num_tris - 1).astype(jnp.int32)
     return hit, jnp.where(hit, best_t, 0.0), idx, u, v
 
 
