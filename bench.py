@@ -18,6 +18,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: remote XLA compiles cost 5-15 min per program
+# on this TPU tunnel; cached binaries load in seconds across processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_PATHS_PER_SEC = 54e6  # BASELINE.md derived ballpark (13-min DiffuseRoom)
 
 

@@ -289,7 +289,10 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
         u = jnp.where(overflow, u_f, u)
         v = jnp.where(overflow, v_f, v)
 
-    # differentiable recompute at the detached chosen prim
+    # differentiable recompute at the detached chosen prim. No-hit lanes
+    # may carry indices into a cluster's padding slots; clamp into range
+    # (their results are masked by `hit`).
+    idx = jnp.minimum(idx, scene.num_tris - 1)
     t2, u2, v2, _ = mt_gather(scene.tris, idx, org, dirn, t_min,
                               jnp.full_like(t_max, BIG_T))
     best_t = jnp.where(hit, t2, best_t)
