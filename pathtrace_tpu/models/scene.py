@@ -72,13 +72,14 @@ class Material:
         )
 
     def gather(self, idx: jnp.ndarray) -> "Material":
+        from pathtrace_tpu.utils.math3 import gather_rows
         return Material(
-            emittance=self.emittance[idx],
-            albedo=self.albedo[idx],
-            specular=self.specular[idx],
-            opacity=self.opacity[idx],
-            roughness=self.roughness[idx],
-            metallic=self.metallic[idx],
+            emittance=gather_rows(self.emittance, idx),
+            albedo=gather_rows(self.albedo, idx),
+            specular=gather_rows(self.specular, idx),
+            opacity=gather_rows(self.opacity, idx),
+            roughness=gather_rows(self.roughness, idx),
+            metallic=gather_rows(self.metallic, idx),
         )
 
 

@@ -122,25 +122,28 @@ def _gather_tri_hit(scene: Scene, org, dirn, t, u, v, idx):
     w0 = (1.0 - u - v)[:, None]
     wu = u[:, None]
     wv = v[:, None]
+    g = math3.gather_rows  # one-hot matmul for small tables (TPU gathers
+    # lower to serial per-row fusions; the one-hot is CSE'd across fields)
 
     def interp(a0, a1, a2):
-        return w0 * a0[idx] + wv * a1[idx] + wu * a2[idx]
+        return w0 * g(a0, idx) + wv * g(a1, idx) + wu * g(a2, idx)
 
     outward_n = math3.normalize(interp(tr.n0, tr.n1, tr.n2))
     front = math3.dot(dirn, outward_n) < 0.0
     normal = jnp.where(front[:, None], outward_n, -outward_n)
     tangent = math3.normalize(interp(tr.t0, tr.t1, tr.t2))
     bitangent = math3.normalize(interp(tr.b0, tr.b1, tr.b2))
-    uv = w0 * tr.uv0[idx] + wv * tr.uv1[idx] + wu * tr.uv2[idx]
+    uv = w0 * g(tr.uv0, idx) + wv * g(tr.uv1, idx) + wu * g(tr.uv2, idx)
     p = org + t[:, None] * dirn
     return p, normal, tangent, bitangent, front, uv
 
 
 def _gather_sphere_hit(scene: Scene, org, dirn, t, idx):
     sp = scene.spheres
+    g = math3.gather_rows
     p = org + t[:, None] * dirn
-    outward = (p - sp.center[idx]) / jnp.maximum(sp.radius[idx][:, None],
-                                                 math3.TINY)
+    outward = (p - g(sp.center, idx)) / jnp.maximum(g(sp.radius, idx)[:, None],
+                                                    math3.TINY)
     front = math3.dot(dirn, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     # Tangent frame from +Y (reference Sphere::hit, CudaPrimitive.cuh:287-288,
@@ -160,9 +163,9 @@ def mt_gather(tris, pid: jnp.ndarray, org: jnp.ndarray, dirn: jnp.ndarray,
     upstream). Returns (t, u, v, valid) with the reference's backface cull
     and normalized barycentrics.
     """
-    v0 = tris.v0[pid]
-    e1 = tris.v1[pid] - v0
-    e2 = tris.v2[pid] - v0
+    v0 = math3.gather_rows(tris.v0, pid)
+    e1 = math3.gather_rows(tris.v1, pid) - v0
+    e2 = math3.gather_rows(tris.v2, pid) - v0
     tvec = org - v0
     p = math3.cross(dirn, e2)
     q = math3.cross(tvec, e1)
@@ -310,11 +313,13 @@ def finalize_shadow(scene: Scene, org, dirn, t_min, t_max,
     p = org + t_safe[:, None] * dirn
 
     if scene.num_tris > 0:
-        emit = scene.mat.emittance[jnp.where(tri_hit, tri_idx, 0)]
+        emit = math3.gather_rows(scene.mat.emittance,
+                                 jnp.where(tri_hit, tri_idx, 0))
     else:
         emit = jnp.zeros((r, 3), jnp.float32)
     if scene.num_spheres > 0:
-        s_emit = scene.spheres.mat.emittance[jnp.where(use_sphere, sph_idx, 0)]
+        s_emit = math3.gather_rows(scene.spheres.mat.emittance,
+                                   jnp.where(use_sphere, sph_idx, 0))
         emit = jnp.where(use_sphere[:, None], s_emit, emit)
     return hit, p, emit
 

@@ -117,18 +117,25 @@ def safe_rsqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
-                onehot_threshold: int = 1024) -> jnp.ndarray:
+                onehot_threshold: int = 512) -> jnp.ndarray:
     """table[idx] for (N, ...) tables and (R,) int indices.
 
     For small tables this uses an exact one-hot matmul (0/1 weights), which
-    maps to the MXU instead of XLA's serial gather lowering on TPU; for
-    large tables it falls back to a plain take.
+    maps to the MXU instead of XLA's serial per-row gather lowering on TPU
+    (profiled at ~45% of integrator device time); the one-hot is CSE'd
+    across multiple gathers sharing the same indices. Larger tables fall
+    back to a plain take. Integer tables round-trip through f32 (exact for
+    values < 2^24).
     """
     import jax
     n = table.shape[0]
     if n == 0 or n > onehot_threshold:
         return table[idx]
-    flat = table.reshape(n, -1)
-    onehot = jax.nn.one_hot(idx, n, dtype=flat.dtype)
-    out = jnp.dot(onehot, flat, preferred_element_type=flat.dtype)
+    flat = jnp.asarray(table).reshape(n, -1)
+    integer = jnp.issubdtype(flat.dtype, jnp.integer)
+    work = flat.astype(jnp.float32) if integer else flat
+    onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)
+    out = jnp.dot(onehot, work, preferred_element_type=jnp.float32)
+    if integer:
+        out = jnp.round(out).astype(flat.dtype)
     return out.reshape(idx.shape + table.shape[1:])
