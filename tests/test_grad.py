@@ -99,10 +99,12 @@ def test_sphere_material_grads():
     assert np.isfinite(np.asarray(g_sph.albedo)).all()
     assert np.isfinite(np.asarray(g_sph.roughness)).all()
     assert np.isfinite(np.asarray(g_sph.specular)).all()
+    # FD itself varies ~1.6% across h on this config (multi-bounce glass
+    # paths amplify float reordering); 3% tolerance.
     fd = fd_material_grad(scene, cam, spp, key, "spheres", "albedo", (0, 0),
                           h=2e-2, cfg=FD_CFG)
     ad = float(np.asarray(g_sph.albedo)[(0, 0)])
-    _check(ad, fd, "sphere albedo[0,0]")
+    _check(ad, fd, "sphere albedo[0,0]", tol=3e-2)
 
 
 def test_rr_on_grads_finite_and_consistent():
