@@ -50,7 +50,8 @@ def _regen_rays(camera: Camera, path_idx, base_key, num_pix):
 
 
 def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
-                  cfg: IntegratorConfig, lanes: int, sample_offset=0):
+                  cfg: IntegratorConfig, lanes: int, sample_offset=0,
+                  path_capacity=None):
     """spp and sample_offset may be TRACED scalars: they only feed the
     dynamic while_loop bound and the path-id arithmetic, so one
     compilation serves every sample count and chunk (remote XLA compiles
@@ -58,18 +59,31 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
     run for many minutes - chunked launches share this program).
 
     Path ids span [sample_offset*num_pix, (sample_offset+spp)*num_pix).
+
+    path_capacity (static): when set (chunked path), the film is a
+    per-PATH buffer of that many slots written with .set at unique lane
+    indices every iteration - XLA lowers duplicate-index scatter-adds via
+    sort+combine (profiled as the top op at 36% of device time), while a
+    unique-index store scatter is cheap; the per-pixel reduction becomes
+    one dense reshape+sum at the end. When None, the per-pixel
+    scatter-add film is used (single-launch path).
     """
     num_pix = camera.width * camera.height
     spp = jnp.asarray(spp, jnp.int32)
     base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
     total_paths = num_pix * spp
+    if path_capacity is not None:
+        assert lanes <= path_capacity
 
     from pathtrace_tpu.integrator.megakernel import default_raycast
     raycast_fn = partial(default_raycast(scene), scene)
     bounce = make_bounce_fn(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
                             cfg, base_key)
 
-    film = jnp.zeros((num_pix, 3), jnp.float32)
+    if path_capacity is None:
+        film = jnp.zeros((num_pix, 3), jnp.float32)
+    else:
+        film = jnp.zeros((path_capacity, 3), jnp.float32)
 
     local0 = jnp.arange(lanes, dtype=jnp.int32)
     init_ids = base_path + local0
@@ -103,8 +117,15 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
             s["lane_iter"])
 
         died = s["alive"] & ~alive_next
-        film = s["film"].at[s["pixel"]].add(
-            jnp.where(died[:, None], radiance, 0.0))
+        if path_capacity is None:
+            film = s["film"].at[s["pixel"]].add(
+                jnp.where(died[:, None], radiance, 0.0))
+        else:
+            # every lane stores its running radiance at its (unique) local
+            # path slot; the death-iteration value is the final one, and a
+            # regenerated lane starts writing its new slot next iteration
+            local = s["ray_ids"] - base_path
+            film = s["film"].at[local].set(radiance, unique_indices=True)
 
         # --- regeneration: dead lanes pull consecutive fresh paths
         slot = jnp.cumsum(died.astype(jnp.int32)) - 1
@@ -133,7 +154,12 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
         )
 
     state = jax.lax.while_loop(cond, body, state)
-    img = (state["film"].reshape(camera.height, camera.width, 3)
+    if path_capacity is None:
+        film_pix = state["film"]
+    else:
+        film_pix = state["film"].reshape(path_capacity // num_pix,
+                                         num_pix, 3).sum(axis=0)
+    img = (film_pix.reshape(camera.height, camera.width, 3)
            / spp.astype(jnp.float32))
     return img, state["rays"]
 
@@ -157,14 +183,14 @@ def render_wavefront_stats(scene: Scene, camera: Camera, spp, base_key,
                           sample_offset)
 
 
-@partial(jax.jit, static_argnames=("cfg", "lanes"))
+@partial(jax.jit, static_argnames=("cfg", "lanes", "path_capacity"))
 def _chunk_accum(scene, camera, film, rays, spp_chunk, offset, base_key,
-                 cfg, lanes):
+                 cfg, lanes, path_capacity):
     """One chunk launch that also folds accumulation into the program -
     NO eager device ops between launches (each eager op is a multi-second
     dispatch over the remote-TPU tunnel)."""
     img, nrays = _run_wavefront(scene, camera, spp_chunk, base_key, cfg,
-                                lanes, offset)
+                                lanes, offset, path_capacity)
     film = film + img * jnp.asarray(spp_chunk, jnp.float32)
     return film, rays + nrays
 
@@ -180,6 +206,9 @@ def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
     ((H, W, 3) image, total rays traced)."""
     import numpy as np
 
+    num_pix = camera.width * camera.height
+    capacity = num_pix * chunk_spp
+    lanes = min(lanes, capacity)
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     rays = jnp.zeros((), jnp.float32)
     done = 0
@@ -187,7 +216,7 @@ def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
         cur = min(chunk_spp, spp - done)
         film, rays = _chunk_accum(scene, camera, film, rays,
                                   np.int32(cur), np.int32(done), base_key,
-                                  cfg, lanes)
+                                  cfg, lanes, capacity)
         done += cur
     # single host fetch + host-side normalization
     return jnp.asarray(np.asarray(film) / spp), float(rays)
