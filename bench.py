@@ -36,9 +36,16 @@ def main():
     w = int(os.environ.get("BENCH_W", 256))
     h = int(os.environ.get("BENCH_H", 256))
     spp = int(os.environ.get("BENCH_SPP", 1024))
-    lanes = int(os.environ.get("BENCH_LANES", 131072))
+    lanes = int(os.environ.get("BENCH_LANES", 65536))
+    which = os.environ.get("BENCH_SCENE", "cornell")
 
-    scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
+    if which == "mesh":
+        # dense ~82k-tri mesh through the binned two-level traversal
+        scene = procedural.sphere_mesh_scene(subdivisions=6).with_binned()
+    elif which == "glass":
+        scene = procedural.glass_scene().with_mt()
+    else:
+        scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
     scene = scene.to_device()  # ONE batched transfer (eager per-leaf
     # uploads through the remote-TPU tunnel cost seconds each)
     camera = procedural.default_camera(w, h)
@@ -69,7 +76,7 @@ def main():
     rays_per_sec = paths_per_sec * rays_per_path
 
     print(json.dumps({
-        "metric": "rays_per_sec_per_chip_cornell_1024spp",
+        "metric": f"rays_per_sec_per_chip_{which}_{spp}spp",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(paths_per_sec / REF_PATHS_PER_SEC, 4),

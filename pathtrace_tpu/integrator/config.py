@@ -23,6 +23,13 @@ class IntegratorConfig:
     # Detach sampling decisions/pdfs for unbiased material gradients
     # (has no effect on the primal render).
     detach_sampling: bool = True
+    # Rematerialize each bounce in the backward pass instead of storing
+    # its activations (jax.checkpoint on the scan body): memory per
+    # gradient step drops from O(bounces * wavefront state) to O(state),
+    # recomputing the bounce forward during backprop. With counter-based
+    # RNG the recomputation replays the identical sample stream - the
+    # first step toward the full compact-path-record replay backward.
+    remat: bool = False
 
     @property
     def max_iters(self) -> int:

@@ -296,6 +296,8 @@ def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
     )
     step = make_bounce_step(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
                             cfg, base_key, ray_ids)
+    if cfg.remat:
+        step = jax.checkpoint(step)
     state, _ = jax.lax.scan(step, state, jnp.arange(cfg.max_iters))
     return state[2], state[8]
 

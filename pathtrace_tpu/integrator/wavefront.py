@@ -206,9 +206,10 @@ def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
     ((H, W, 3) image, total rays traced)."""
     import numpy as np
 
-    num_pix = camera.width * camera.height
-    capacity = num_pix * chunk_spp
-    lanes = min(lanes, capacity)
+    # NOTE: a per-path unique-store film (path_capacity=num_pix*chunk_spp)
+    # was benchmarked at 4x SLOWER than the per-pixel scatter-add - TPU
+    # lowers large store-scatters serially too. Kept behind path_capacity
+    # for future Pallas-based film experiments; default None.
     film = jnp.zeros((camera.height, camera.width, 3), jnp.float32)
     rays = jnp.zeros((), jnp.float32)
     done = 0
@@ -216,7 +217,7 @@ def render_wavefront_chunked(scene: Scene, camera: Camera, spp: int,
         cur = min(chunk_spp, spp - done)
         film, rays = _chunk_accum(scene, camera, film, rays,
                                   np.int32(cur), np.int32(done), base_key,
-                                  cfg, lanes, capacity)
+                                  cfg, lanes, None)
         done += cur
     # single host fetch + host-side normalization
     return jnp.asarray(np.asarray(film) / spp), float(rays)

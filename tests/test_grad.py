@@ -120,3 +120,22 @@ def test_rr_on_grads_finite_and_consistent():
     assert np.isfinite(a_on) and np.isfinite(a_off)
     assert a_on > 0 and a_off > 0
     assert 0.3 < a_on / a_off < 3.0
+
+
+def test_remat_grads_match():
+    """Rematerialized backward (jax.checkpoint on the bounce scan) must
+    reproduce the stored-activation gradients exactly - counter-based RNG
+    replays the identical sample stream during recompute."""
+    import dataclasses
+    scene = procedural.cornell_box_scene()
+    cam = procedural.default_camera(12, 12)
+    key = rng.make_key(4)
+    g_std, _, loss_std = material_grads(scene, cam, 2, key, cfg=FD_CFG)
+    cfg_r = dataclasses.replace(FD_CFG, remat=True)
+    g_rmt, _, loss_rmt = material_grads(scene, cam, 2, key, cfg=cfg_r)
+    np.testing.assert_allclose(float(loss_std), float(loss_rmt), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_std.albedo),
+                               np.asarray(g_rmt.albedo), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_std.roughness),
+                               np.asarray(g_rmt.roughness), rtol=1e-4,
+                               atol=1e-5)
