@@ -262,7 +262,7 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
     the exact MT-matmul path against the full scene, masked in - always
     correct, at worst slower when overflow is common."""
     from pathtrace_tpu.ops.intersect import BIG_T, finalize_hit, mt_gather
-    from pathtrace_tpu.ops.mt_matmul import mt_matmul_closest
+    from pathtrace_tpu.ops.mt_matmul import mt_closest_auto
 
     clusters = scene.clusters
     assert clusters is not None, "scene has no clusters; Scene.with_binned()"
@@ -280,8 +280,9 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
         clusters, org_d, dirn_d, tmin_d, tmax_d, k_max=k_max)
 
     if scene.mt is not None:
-        # exact fallback for overflow rays (typically none)
-        hit_f, t_f, idx_f, u_f, v_f = mt_matmul_closest(
+        # exact fallback for overflow rays (typically none); auto-chunked
+        # above 8k tris (a full (R, T) product would exceed HBM)
+        hit_f, t_f, idx_f, u_f, v_f = mt_closest_auto(
             scene.mt, org_d, dirn_d, tmin_d, tmax_d)
         hit = jnp.where(overflow, hit_f, hit)
         best_t = jnp.where(overflow, t_f, best_t)

@@ -181,7 +181,7 @@ def raycast_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray,
         t_min = jnp.zeros((r,), jnp.float32)
     if t_max is None:
         t_max = jnp.full((r,), BIG_T, jnp.float32)
-    hit, best_t, idx, u, v = mt_matmul_closest(
+    hit, best_t, idx, u, v = mt_closest_auto(
         scene.mt, org_d, dirn_d, jax.lax.stop_gradient(t_min),
         jax.lax.stop_gradient(t_max))
     from pathtrace_tpu.ops.intersect import mt_gather
@@ -200,8 +200,85 @@ def shadow_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray, t_min, t_max):
 
     org_d = jax.lax.stop_gradient(org)
     dirn_d = jax.lax.stop_gradient(dirn)
-    hit, best_t, idx, _, _ = mt_matmul_closest(
+    hit, best_t, idx, _, _ = mt_closest_auto(
         scene.mt, org_d, dirn_d, jax.lax.stop_gradient(t_min),
         jax.lax.stop_gradient(t_max))
     return finalize_shadow(scene, org_d, dirn_d, t_min, t_max, hit, best_t,
                            idx)
+
+
+CHUNKED_THRESHOLD = 8192  # full (R, T_pad) products above this would blow HBM
+
+
+def mt_matmul_closest_chunked(coeffs: MTCoeffs, org: jnp.ndarray,
+                              dirn: jnp.ndarray, t_min: jnp.ndarray,
+                              t_max: jnp.ndarray, block: int = 4096):
+    """Closest-hit via MXU matmuls scanned over triangle-column blocks.
+
+    Same semantics as mt_matmul_closest but peak memory O(R * block)
+    instead of O(R * T): a 65k-ray x 82k-tri product is 21.5 GB in f32
+    (exceeds HBM); this scans (R, block) products with a running
+    payload-carrying min.
+    """
+    t_pad = coeffs.det.shape[1]
+    if t_pad % block != 0:
+        pad = ((t_pad + block - 1) // block) * block - t_pad
+        pad_m = lambda m: jnp.pad(jnp.asarray(m), ((0, 0), (0, pad)))
+        stacked = [pad_m(coeffs.det), pad_m(coeffs.t_num),
+                   pad_m(coeffs.u_num), pad_m(coeffs.v_num)]
+        t_pad += pad
+    else:
+        stacked = [jnp.asarray(coeffs.det), jnp.asarray(coeffs.t_num),
+                   jnp.asarray(coeffs.u_num), jnp.asarray(coeffs.v_num)]
+    nb = t_pad // block
+    # (nb, 16, block) scan inputs
+    xs = [m.reshape(16, nb, block).transpose(1, 0, 2) for m in stacked]
+
+    f = ray_features(org, dirn)
+    r = org.shape[0]
+
+    def body(carry, x):
+        best_t, best_idx, best_u, best_v, base = carry
+        det_m, tn_m, un_m, vn_m = x
+        det = jnp.dot(f, det_m, preferred_element_type=jnp.float32)
+        t_num = jnp.dot(f, tn_m, preferred_element_type=jnp.float32)
+        u_num = jnp.dot(f, un_m, preferred_element_type=jnp.float32)
+        v_num = jnp.dot(f, vn_m, preferred_element_type=jnp.float32)
+        inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
+        t = t_num * inv_det
+        valid = (det >= EPS)
+        valid &= (t >= t_min[:, None]) & (t <= t_max[:, None])
+        valid &= (u_num >= 0.0) & (u_num <= det)
+        valid &= (v_num >= 0.0) & (u_num + v_num <= det)
+        t_masked = jnp.where(valid, t, jnp.inf)
+        blk_t = jnp.min(t_masked, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 1)
+        is_min = valid & (t_masked <= blk_t[:, None])
+        blk_arg = jnp.min(jnp.where(is_min, lane, block), axis=1)
+        pick = lane == blk_arg[:, None]
+        blk_u = jnp.sum(jnp.where(pick, u_num * inv_det, 0.0), axis=1)
+        blk_v = jnp.sum(jnp.where(pick, v_num * inv_det, 0.0), axis=1)
+        better = blk_t < best_t
+        best_t = jnp.where(better, blk_t, best_t)
+        best_idx = jnp.where(better, base + jnp.minimum(blk_arg, block - 1),
+                             best_idx)
+        best_u = jnp.where(better, blk_u, best_u)
+        best_v = jnp.where(better, blk_v, best_v)
+        return (best_t, best_idx, best_u, best_v, base + block), None
+
+    carry = (jnp.full((r,), jnp.inf, jnp.float32),
+             jnp.zeros((r,), jnp.int32),
+             jnp.zeros((r,), jnp.float32),
+             jnp.zeros((r,), jnp.float32),
+             jnp.zeros((), jnp.int32))
+    (best_t, idx, u, v, _), _ = jax.lax.scan(body, carry, tuple(xs))
+    hit = jnp.isfinite(best_t)
+    idx = jnp.minimum(idx, coeffs.num_tris - 1)
+    return hit, jnp.where(hit, best_t, 0.0), idx, u, v
+
+
+def mt_closest_auto(coeffs: MTCoeffs, org, dirn, t_min, t_max):
+    """Full-matrix product for small T, column-block scan for large T."""
+    if coeffs.det.shape[1] > CHUNKED_THRESHOLD:
+        return mt_matmul_closest_chunked(coeffs, org, dirn, t_min, t_max)
+    return mt_matmul_closest(coeffs, org, dirn, t_min, t_max)
