@@ -194,45 +194,68 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
                                      side="right").astype(jnp.int32)
     block_cluster = jnp.minimum(block_cluster, m)  # trailing padding
 
-    # gather features + coefficient tiles per block, batched matmul
+    # gather features + coefficient tiles per block, batched matmuls
+    # scanned over groups of blocks: the full (NB, B, C, 4) product is
+    # ~1.3 GB at 65k rays (the runtime spike that crashed the TPU worker
+    # on the 82k-tri scene); groups bound it to ~150 MB.
     f = ray_features(org, dirn)                      # (R, 16)
-    safe_ray = jnp.maximum(slot_ray, 0)
-    f_pairs = f[safe_ray].reshape(nb, b, 16)
-    safe_cluster = jnp.minimum(block_cluster, m - 1)
-    tiles = clusters.coeffs[safe_cluster]            # (NB, 16, C, 4)
-    prods = jnp.einsum("nbf,nfcq->nbcq", f_pairs, tiles,
-                       preferred_element_type=jnp.float32)
-    det = prods[..., 0]
-    t_num = prods[..., 1]
-    u_num = prods[..., 2]
-    v_num = prods[..., 3]
+    group = 512
+    ng = (nb + group - 1) // group
+    pad_blocks = ng * group - nb
+    slot_ray_b = slot_ray.reshape(nb, b)
+    if pad_blocks:
+        slot_ray_b = jnp.pad(slot_ray_b, ((0, pad_blocks), (0, 0)),
+                             constant_values=-1)
+        block_cluster = jnp.pad(block_cluster, (0, pad_blocks),
+                                constant_values=m)
+    coeffs_all = jnp.asarray(clusters.coeffs)
+    prim_start_all = jnp.asarray(clusters.prim_start)
 
-    inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
-    t = t_num * inv_det
-    tmin_p = t_min[safe_ray].reshape(nb, b)[..., None]
-    tmax_p = t_max[safe_ray].reshape(nb, b)[..., None]
-    live = (slot_ray >= 0).reshape(nb, b)[..., None]
-    live &= (block_cluster < m)[:, None, None]
-    valid = live & (det >= EPS)
-    valid &= (t >= tmin_p) & (t <= tmax_p)
-    valid &= (u_num >= 0.0) & (u_num <= det)
-    valid &= (v_num >= 0.0) & (u_num + v_num <= det)
+    def group_body(_, x):
+        sl_ray, bc = x                               # (G, B), (G,)
+        safe_ray = jnp.maximum(sl_ray, 0)
+        f_pairs = f[safe_ray]                        # (G, B, 16)
+        safe_cluster = jnp.minimum(bc, m - 1)
+        tiles = coeffs_all[safe_cluster]             # (G, 16, C, 4)
+        prods = jnp.einsum("nbf,nfcq->nbcq", f_pairs, tiles,
+                           preferred_element_type=jnp.float32)
+        det = prods[..., 0]
+        t_num = prods[..., 1]
+        u_num = prods[..., 2]
+        v_num = prods[..., 3]
 
-    t_masked = jnp.where(valid, t, jnp.inf)
-    pair_best_t = jnp.min(t_masked, axis=2)                   # (NB, B)
-    lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 2)
-    lane_masked = jnp.where(t_masked <= pair_best_t[..., None], lane, c)
-    lane_masked = jnp.where(valid, lane_masked, c)
-    pair_arg = jnp.min(lane_masked, axis=2)                   # (NB, B)
-    pick = lane == pair_arg[..., None]
+        inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
+        t = t_num * inv_det
+        tmin_p = t_min[safe_ray][..., None]
+        tmax_p = t_max[safe_ray][..., None]
+        live = (sl_ray >= 0)[..., None] & (bc < m)[:, None, None]
+        valid = live & (det >= EPS)
+        valid &= (t >= tmin_p) & (t <= tmax_p)
+        valid &= (u_num >= 0.0) & (u_num <= det)
+        valid &= (v_num >= 0.0) & (u_num + v_num <= det)
 
-    def at_arg(x):
-        return jnp.sum(jnp.where(pick, x, 0.0), axis=2)
+        t_masked = jnp.where(valid, t, jnp.inf)
+        g_best_t = jnp.min(t_masked, axis=2)                   # (G, B)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 2)
+        lane_masked = jnp.where(t_masked <= g_best_t[..., None], lane, c)
+        lane_masked = jnp.where(valid, lane_masked, c)
+        g_arg = jnp.min(lane_masked, axis=2)                   # (G, B)
+        pick = lane == g_arg[..., None]
+        g_u = jnp.sum(jnp.where(pick, u_num * inv_det, 0.0), axis=2)
+        g_v = jnp.sum(jnp.where(pick, v_num * inv_det, 0.0), axis=2)
+        g_tri = (prim_start_all[safe_cluster][:, None]
+                 + jnp.minimum(g_arg, c - 1))
+        return None, (g_best_t, g_u, g_v, g_tri)
 
-    pair_u = at_arg(u_num * inv_det)
-    pair_v = at_arg(v_num * inv_det)
-    pair_tri = (clusters.prim_start[safe_cluster][:, None]
-                + jnp.minimum(pair_arg, c - 1))               # (NB, B)
+    xs = (slot_ray_b.reshape(ng, group, b),
+          block_cluster.reshape(ng, group))
+    _, (pair_best_t, pair_u, pair_v, pair_tri) = jax.lax.scan(
+        group_body, None, xs)
+    pair_best_t = pair_best_t.reshape(ng * group, b)[:nb]
+    pair_u = pair_u.reshape(ng * group, b)[:nb]
+    pair_v = pair_v.reshape(ng * group, b)[:nb]
+    pair_tri = pair_tri.reshape(ng * group, b)[:nb]
+    slot_ray = slot_ray_b[:nb].reshape(-1)
 
     # scatter-min back to rays
     flat_ray = jnp.maximum(slot_ray, 0)
