@@ -60,13 +60,22 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
 
     Path ids span [sample_offset*num_pix, (sample_offset+spp)*num_pix).
 
+    Path->lane assignment is STRIDED whenever the sizes allow it
+    (lanes % num_pix == 0 or num_pix % lanes == 0): lane i handles path
+    ids base + i, base + i + lanes, ... so its film pixel cycles through
+    a fixed per-lane set of K = max(1, num_pix // lanes) pixels. The film
+    is then a dense (K, lanes, 3) per-lane accumulator committed with a
+    K-wide one-hot multiply-add - NO scatter. The generic pool assignment
+    (shared next_path counter + cumsum + per-pixel scatter-add) remains
+    as fallback for arbitrary sizes; the scatter-add was the top op of
+    the whole render at 36% of device time (sort+combine lowering).
+
     path_capacity (static): when set (chunked path), the film is a
     per-PATH buffer of that many slots written with .set at unique lane
     indices every iteration - XLA lowers duplicate-index scatter-adds via
-    sort+combine (profiled as the top op at 36% of device time), while a
-    unique-index store scatter is cheap; the per-pixel reduction becomes
-    one dense reshape+sum at the end. When None, the per-pixel
-    scatter-add film is used (single-launch path).
+    sort+combine, while a unique-index store scatter is cheap; the
+    per-pixel reduction becomes one dense reshape+sum at the end.
+    (Benchmarked 4x slower than scatter-add; kept for experiments.)
     """
     num_pix = camera.width * camera.height
     spp = jnp.asarray(spp, jnp.int32)
@@ -80,7 +89,13 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
     bounce = make_bounce_fn(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
                             cfg, base_key)
 
-    if path_capacity is None:
+    static_assign = (path_capacity is None
+                     and (lanes % num_pix == 0 or num_pix % lanes == 0))
+    k_pix = max(1, num_pix // lanes)  # pixels owned per lane (static)
+
+    if static_assign:
+        film = jnp.zeros((k_pix, lanes, 3), jnp.float32)
+    elif path_capacity is None:
         film = jnp.zeros((num_pix, 3), jnp.float32)
     else:
         film = jnp.zeros((path_capacity, 3), jnp.float32)
@@ -100,11 +115,12 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
         refracted=jnp.zeros((lanes,), bool),
         alive=alive0,
         ray_ids=init_ids,
-        pixel=pixel0,
         lane_iter=jnp.zeros((lanes,), jnp.int32),
-        next_path=jnp.asarray(lanes, jnp.int32),
         rays=jnp.zeros((), jnp.float32),
     )
+    if not static_assign:
+        state["pixel"] = pixel0
+        state["next_path"] = jnp.asarray(lanes, jnp.int32)
 
     def cond(s):
         return jnp.any(s["alive"])
@@ -117,9 +133,19 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
             s["lane_iter"])
 
         died = s["alive"] & ~alive_next
-        if path_capacity is None:
-            film = s["film"].at[s["pixel"]].add(
-                jnp.where(died[:, None], radiance, 0.0))
+        contrib = jnp.where(died[:, None], radiance, 0.0)
+        if static_assign:
+            # lane i at its k-th path has pixel (i + (k%K)*lanes) % num_pix
+            # with K = k_pix; commit is a dense K-wide one-hot madd.
+            if k_pix == 1:
+                film = s["film"] + contrib[None]
+            else:
+                kmod = ((s["ray_ids"] - base_path) // lanes) % k_pix
+                onehot = (kmod[None, :]
+                          == jnp.arange(k_pix, dtype=jnp.int32)[:, None])
+                film = s["film"] + onehot[:, :, None] * contrib[None]
+        elif path_capacity is None:
+            film = s["film"].at[s["pixel"]].add(contrib)
         else:
             # every lane stores its running radiance at its (unique) local
             # path slot; the death-iteration value is the final one, and a
@@ -127,16 +153,24 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
             local = s["ray_ids"] - base_path
             film = s["film"].at[local].set(radiance, unique_indices=True)
 
-        # --- regeneration: dead lanes pull consecutive fresh paths
-        slot = jnp.cumsum(died.astype(jnp.int32)) - 1
-        new_local = s["next_path"] + slot
-        regen = died & (new_local < total_paths)
-        new_idx_safe = jnp.where(regen, base_path + new_local, 0)
+        # --- regeneration
+        if static_assign:
+            # strided: lane i's next path id is simply ray_id + lanes
+            new_idx = s["ray_ids"] + lanes
+            regen = died & (new_idx - base_path < total_paths)
+            new_idx_safe = jnp.where(regen, new_idx, 0)
+        else:
+            # pool: dead lanes pull consecutive fresh paths via a shared
+            # counter (cumsum over death flags)
+            slot = jnp.cumsum(died.astype(jnp.int32)) - 1
+            new_local = s["next_path"] + slot
+            regen = died & (new_local < total_paths)
+            new_idx_safe = jnp.where(regen, base_path + new_local, 0)
         r_org, r_dir, r_pixel = _regen_rays(camera, new_idx_safe, base_key,
                                             num_pix)
 
         sel = regen[:, None]
-        return dict(
+        out = dict(
             film=film,
             org=jnp.where(sel, r_org, org),
             dirn=jnp.where(sel, r_dir, dirn),
@@ -147,14 +181,24 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
             refracted=jnp.where(regen, False, refracted),
             alive=alive_next | regen,
             ray_ids=jnp.where(regen, new_idx_safe, s["ray_ids"]),
-            pixel=jnp.where(regen, r_pixel, s["pixel"]),
             lane_iter=jnp.where(regen, 0, s["lane_iter"] + 1),
-            next_path=s["next_path"] + jnp.sum(died.astype(jnp.int32)),
             rays=s["rays"] + traced,
         )
+        if not static_assign:
+            out["pixel"] = jnp.where(regen, r_pixel, s["pixel"])
+            out["next_path"] = (s["next_path"]
+                                + jnp.sum(died.astype(jnp.int32)))
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
-    if path_capacity is None:
+    if static_assign:
+        # film[k, i] belongs to pixel (i + k*lanes) % num_pix
+        if num_pix >= lanes:
+            film_pix = state["film"].reshape(num_pix, 3)
+        else:
+            film_pix = state["film"].reshape(lanes // num_pix,
+                                             num_pix, 3).sum(axis=0)
+    elif path_capacity is None:
         film_pix = state["film"]
     else:
         film_pix = state["film"].reshape(path_capacity // num_pix,
