@@ -78,7 +78,7 @@ def cmd_render(args) -> int:
 
 def cmd_grad_check(args) -> int:
     import numpy as np
-    from pathtrace_tpu.diff import fd_material_grad, material_grads
+    from pathtrace_tpu.diff import fd_material_grad_auto, material_grads
     from pathtrace_tpu.integrator.config import IntegratorConfig
     from pathtrace_tpu.models.presets import build_preset_scene, get_preset
     from pathtrace_tpu.models import procedural
@@ -97,23 +97,25 @@ def cmd_grad_check(args) -> int:
     g_tri, g_sph, loss = material_grads(scene, camera, spp, key, cfg=cfg)
     checks = []
     light = int(np.asarray(scene.lights)[0])
-    # per-param step size and tolerance: roughness moves the sampled
-    # microfacet direction, so large-h FD crosses discrete accept/reject
-    # boundaries (convergence study in tests/test_grad.py: FD -> AD as
-    # h -> 0); it gets a smaller h and a looser tolerance.
-    for target, field, idx, h, tol in [
+    # Adaptive FD steps: the estimator is only piecewise-smooth (sampled
+    # directions cross accept/reject boundaries, CudaUtil.cuh:335-338), so
+    # each probe halves h until consecutive estimates agree - see
+    # diff/fd.py fd_material_grad_auto. Starting h and tolerance per param:
+    # roughness/specular move the sampled microfacet direction and carry
+    # the strongest finite-h artifacts.
+    for target, field, idx, h0, tol in [
         ("tris", "albedo", (0, 0), 2e-2, 2e-2),
         ("tris", "emittance", (light, 0), 5e-2, 2e-2),
-        ("tris", "roughness", (2,), 1e-2, 1.5e-1),
-        ("tris", "specular", (4, 0), 1e-2, 2e-2),
+        ("tris", "roughness", (2,), 1e-2, 1e-1),
+        ("tris", "specular", (4, 0), 1e-2, 5e-2),
     ]:
-        fd = fd_material_grad(scene, camera, spp, key, target, field, idx,
-                              h=h, cfg=cfg)
+        fd, h_used, conv = fd_material_grad_auto(
+            scene, camera, spp, key, target, field, idx, h0=h0, cfg=cfg)
         ad = float(np.asarray(getattr(g_tri, field))[idx])
         rel = abs(ad - fd) / max(abs(fd), abs(ad), 1.0)
         checks.append({"param": f"{field}{list(idx)}", "autodiff": ad,
-                       "fd": fd, "rel_err": rel, "tol": tol,
-                       "ok": rel < tol})
+                       "fd": fd, "fd_h": h_used, "fd_converged": conv,
+                       "rel_err": rel, "tol": tol, "ok": rel < tol})
     ok = all(c["ok"] for c in checks)
     print(json.dumps({"loss": float(loss),
                       "max_rel_err": max(c["rel_err"] for c in checks),

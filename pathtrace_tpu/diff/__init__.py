@@ -1,4 +1,4 @@
 from pathtrace_tpu.diff.grad import material_grads, render_with_params
-from pathtrace_tpu.diff.fd import fd_material_grad
+from pathtrace_tpu.diff.fd import fd_material_grad, fd_material_grad_auto
 
-__all__ = ["material_grads", "render_with_params", "fd_material_grad"]
+__all__ = ["material_grads", "render_with_params", "fd_material_grad", "fd_material_grad_auto"]

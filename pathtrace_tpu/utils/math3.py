@@ -135,7 +135,12 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray,
     integer = jnp.issubdtype(flat.dtype, jnp.integer)
     work = flat.astype(jnp.float32) if integer else flat
     onehot = jax.nn.one_hot(idx, n, dtype=jnp.float32)
-    out = jnp.dot(onehot, work, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: TPU matmuls default to bf16 inputs, which would
+    # QUANTIZE the gathered values (material params, light vertices, int
+    # indices round-tripped through f32). With 0/1 weights the bf16x3
+    # decomposition is exact, so HIGHEST restores table[idx] semantics.
+    out = jnp.dot(onehot, work, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     if integer:
         out = jnp.round(out).astype(flat.dtype)
     return out.reshape(idx.shape + table.shape[1:])
