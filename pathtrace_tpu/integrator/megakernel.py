@@ -98,20 +98,17 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     """
     nl = scene.num_lights
     light_slot = rng.randint_from_uniform(draws[:, rng.COL_LIGHT_PICK], nl)
-    g = math3.gather_rows
-    lights = jnp.asarray(scene.lights)
-    light_tri = g(lights[:, None], light_slot)[:, 0]         # (R,) tri index
-
-    tr = scene.tris
-    v0 = g(tr.v0, light_tri)
-    v1 = g(tr.v1, light_tri)
-    v2 = g(tr.v2, light_tri)
+    # Per-light geometry from the packed (L, 13) table (Scene.build): one
+    # tiny (R, L) gather replaces five one-hot matmuls over the (T,)
+    # triangle arrays (each materialized an (R, T_pad) product in HBM).
+    row = math3.gather_rows(jnp.asarray(scene.light_pack), light_slot)
+    v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    area = row[:, 9]
+    light_normal = row[:, 10:13]
     # SamplePrimitive: r1 = sqrt(u), point = (1-r1)V0 + r1(1-r2)V1 + r1 r2 V2
     r1 = math3.safe_sqrt(draws[:, rng.COL_NEE_R1])[:, None]
     r2 = draws[:, rng.COL_NEE_R2][:, None]
     point = (1.0 - r1) * v0 + r1 * (1.0 - r2) * v1 + r1 * r2 * v2
-    area = g(tr.area[:, None], light_tri)[:, 0]
-    light_normal = g(tr.geometric_normal, light_tri)
 
     # Geometry terms stay differentiable: hit.p depends (through the
     # reparameterized sampler) on upstream material params, and FD sees

@@ -228,6 +228,12 @@ class Scene:
     bvh: object = None       # Optional[BVHArrays]
     mt: object = None        # Optional[MTCoeffs] - MXU-matmul intersection
     clusters: object = None  # Optional[ClusterArrays] - binned traversal
+    # (L, 13) per-light geometry [v0 v1 v2 area geometric_normal], packed at
+    # build time so NEE's area sampling gathers from a tiny (L,) table
+    # instead of five one-hot matmuls over the full (T,) triangle arrays
+    # (each a (R, T_pad) product in HBM - profiled hot). Geometry is
+    # gradient-free by scope, so baking it is exact.
+    light_pack: object = None
 
     @property
     def num_tris(self) -> int:
@@ -253,9 +259,18 @@ class Scene:
             lights_arr = np.zeros((1,), np.int32)
         else:
             lights_arr = lights
+        li = lights_arr.astype(np.int64)
+        pack = np.concatenate([
+            np.asarray(tris.v0)[li], np.asarray(tris.v1)[li],
+            np.asarray(tris.v2)[li],
+            np.asarray(tris.area)[li][:, None],
+            np.asarray(tris.geometric_normal)[li],
+        ], axis=1).astype(np.float32) if np.asarray(tris.v0).shape[0] else \
+            np.zeros((1, 13), np.float32)
         return Scene(
             tris=tris, mat=mat, spheres=spheres,
             lights=lights_arr, num_lights=int(lights.size),
+            light_pack=pack,
         )
 
     def with_bvh(self, leaf_size: int = 4) -> "Scene":
@@ -275,7 +290,7 @@ class Scene:
         base = Scene.build(tris, mat, self.spheres)
         return Scene(tris=base.tris, mat=base.mat, spheres=base.spheres,
                      lights=base.lights, num_lights=base.num_lights, bvh=bvh,
-                     mt=self.mt)
+                     mt=self.mt, light_pack=base.light_pack)
 
     def with_mt(self) -> "Scene":
         """Precompute the MXU-matmul intersection coefficients (ops/mt_matmul)."""
