@@ -58,15 +58,27 @@ def main():
     # device runtime watchdog).
     from pathtrace_tpu.integrator.wavefront import render_wavefront_chunked
 
+    engine = os.environ.get("BENCH_ENGINE", "wavefront")
+    if engine == "fused":
+        # fully fused Pallas bounce kernel (small scenes, T_pad <= 512)
+        from pathtrace_tpu.ops.pallas.bounce_kernel import (
+            build_fused_pack, render_wavefront_fused)
+        block_r = int(os.environ.get("BENCH_BLOCK_R", 2048))
+        pack = build_fused_pack(scene)
+        run = lambda n, c: render_wavefront_fused(
+            scene, camera, n, key, cfg, lanes, chunk_spp=c,
+            block_r=block_r, pack=pack)
+    else:
+        run = lambda n, c: render_wavefront_chunked(
+            scene, camera, n, key, cfg, lanes, chunk_spp=c)
+
     # warmup MUST go through the same jitted chunk program as the timed
     # run (a different wrapper would hide a second multi-minute remote
     # compile inside the timed region)
-    img, _ = render_wavefront_chunked(scene, camera, 4, key, cfg, lanes,
-                                      chunk_spp=4)
+    img, _ = run(4, 4)
     img.block_until_ready()
     t0 = time.perf_counter()
-    img, nrays = render_wavefront_chunked(scene, camera, spp, key, cfg,
-                                          lanes, chunk_spp=64)
+    img, nrays = run(spp, 64)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 
@@ -85,6 +97,7 @@ def main():
             "rays_per_path": round(rays_per_path, 3),
             "resolution": [w, h],
             "spp": spp,
+            "engine": engine,
             "seconds": round(dt, 3),
             "device": str(jax.devices()[0]),
         },

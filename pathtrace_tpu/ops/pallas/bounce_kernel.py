@@ -394,7 +394,9 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         normal = jnp.where(use_sphere, s_normal, normal)
         tangent = jnp.where(use_sphere, s_tan, tangent)
         bitang = jnp.where(use_sphere, s_bit, bitang)
-        front = jnp.where(use_sphere, s_front, front)
+        # boolean select spelled logically: Mosaic cannot lower
+        # select->i1 (arith.trunci i8->i1 is unsupported)
+        front = (use_sphere & s_front) | (~use_sphere & front)
         sm = [jnp.concatenate(
             [_sphere_select(sph_ref, num_spheres, best_s, j0 + j, zeros1)
              for j in range(3)], axis=0) for j0 in (4, 7, 10)]
@@ -497,7 +499,8 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
     # sticky refraction flag (CudaUtil.cuh:307)
     transparent = mat["opacity"] < (1.0 - EPS)
     new_refr = dot3(frame["normal"], wo) * dot3(frame["normal"], wi) <= 0.0
-    refracted = jnp.where(cont & transparent, new_refr, refracted)
+    reassign = cont & transparent
+    refracted = (reassign & new_refr) | (~reassign & refracted)
 
     # next ray (CudaUtil.cuh:349-350)
     org_next = hit_p + frame["normal"] * jnp.where(refracted, -EPS, EPS)
@@ -557,7 +560,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
     weight = jnp.where(regen, 1.0, weight)
     depth = jnp.where(regen, 0, depth)
     refract_cnt = jnp.where(regen, 0, refract_cnt)
-    refracted = jnp.where(regen, False, refracted)
+    refracted = ~regen & refracted
     alive_next = alive_next | regen
     ray_ids = jnp.where(regen, new_safe, ray_ids)
     lane_iter = jnp.where(regen, 0, lane_iter + 1)
