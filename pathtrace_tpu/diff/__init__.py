@@ -1,4 +1,10 @@
 from pathtrace_tpu.diff.grad import material_grads, render_with_params
 from pathtrace_tpu.diff.fd import fd_material_grad, fd_material_grad_auto
+from pathtrace_tpu.diff.replay import (material_grads_replay, record_paths,
+                                       replay_paths)
 
-__all__ = ["material_grads", "render_with_params", "fd_material_grad", "fd_material_grad_auto"]
+__all__ = [
+    "material_grads", "render_with_params",
+    "fd_material_grad", "fd_material_grad_auto",
+    "material_grads_replay", "record_paths", "replay_paths",
+]

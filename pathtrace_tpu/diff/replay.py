@@ -22,10 +22,11 @@ training the survey prescribes (SURVEY.md §5 "long-context", §7 M5):
    search appears in the replayed graph, so its VJP stores only O(R)
    per-bounce residuals and never re-walks the scene.
 
-The replay primal equals the record primal bit-for-bit when the recording
-backend recomputes (t, u, v) at the winner via the same mt_gather (the
-MT-matmul and Pallas backends do exactly that; the brute backend agrees to
-float-assoc reordering). Gradients match the scan-AD estimator because
+The replay primal equals the record primal up to XLA fusion-reassociation
+(~1e-5; the two graphs compile differently) because the recording backend
+recomputes (t, u, v) at the winner via the same mt_gather the replay uses
+(the MT-matmul and Pallas backends do exactly that; the brute backend
+additionally reorders the search). Gradients match the scan-AD estimator because
 the recorded discrete outcomes are precisely the quantities scan-AD
 detaches at the raycast boundary (ops/mt_matmul.py raycast_matmul).
 
