@@ -40,8 +40,9 @@ def main():
     which = os.environ.get("BENCH_SCENE", "cornell")
 
     if which == "mesh":
-        # dense ~82k-tri mesh through the binned two-level traversal
-        scene = procedural.sphere_mesh_scene(subdivisions=6).with_binned()
+        # the committed 82k-tri OBJ asset through the OBJ/MTL loader and
+        # the binned two-level traversal (assets/blob82k.obj)
+        scene = procedural.blob_mesh_scene().with_binned()
     elif which == "glass":
         scene = procedural.glass_scene().with_mt()
     else:

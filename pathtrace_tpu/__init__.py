@@ -12,8 +12,8 @@ CUDA renderer WaterPlease/PathTrace-on-CUDA (reference mounted read-only at
   (reference megakernel: CudaUtil.cuh:193-382)
 - Differentiable end-to-end: pixel gradients w.r.t. material parameters
   (albedo/roughness/IOR/emission) via detached-sampling estimators
-- Counter-based deterministic RNG (threefry) keyed by (ray, bounce)
-  replacing curand + clock64 seeding (reference: pathtracer.cu:70-71)
+- Counter-based deterministic RNG (Philox4x32-10, utils/rng.py) keyed by
+  (ray, bounce) replacing curand + clock64 (reference: pathtracer.cu:70-71)
 - Multi-chip scaling via jax.sharding Mesh + shard_map: rays/tiles sharded,
   scene replicated, psum for film assembly and gradient all-reduce
 """

@@ -80,14 +80,15 @@ def record_paths(scene: Scene, org, dirn, ray_ids, base_key,
         tape["sph"] = h.is_sphere
         return h
 
+    from pathtrace_tpu.integrator.megakernel import default_shadow_raycast
+    shadow_backend = default_shadow_raycast(scene)
+
     def rec_shadow(o, d, tn, tx):
-        # full raycast (not the lean shadow path) so the winning primitive
-        # id is available for the replay's emittance gather
-        h = backend(o, d, tn, tx)
-        tape["s_hit"] = h.hit
-        tape["s_pid"] = h.prim_id
-        tape["s_sph"] = h.is_sphere
-        return h.hit, h.p, h.mat.emittance
+        s_hit, s_pid, s_sph = shadow_backend(scene, o, d, tn, tx)
+        tape["s_hit"] = s_hit
+        tape["s_pid"] = s_pid
+        tape["s_sph"] = s_sph
+        return s_hit, s_pid, s_sph
 
     bounce = make_bounce_fn(scene, rec_raycast, cfg, base_key,
                             shadow_fn=rec_shadow)
@@ -150,15 +151,10 @@ def _replay_hit(scene: Scene, org, dirn, t_min, rec) -> HitRecord:
 
     if scene.num_tris > 0:
         safe_tri = jnp.where(tri_sel, rec["pid"], 0)
-        t_tri, u, v, _ = mt_gather(
-            scene.tris, safe_tri, jax.lax.stop_gradient(org),
-            jax.lax.stop_gradient(dirn), t_min,
-            jnp.full((r,), BIG_T, jnp.float32))
-        # differentiable recompute at the detached winner (mirrors
+        # differentiable recompute at the recorded winner (mirrors
         # raycast_matmul): transport grads flow through org/dirn
-        t2, u2, v2, _ = mt_gather(scene.tris, safe_tri, org, dirn, t_min,
-                                  jnp.full((r,), BIG_T, jnp.float32))
-        t_tri, u, v = t2, u2, v2
+        t_tri, u, v, _ = mt_gather(scene.tris, safe_tri, org, dirn, t_min,
+                                   jnp.full((r,), BIG_T, jnp.float32))
         tp, tn, tt, tb, tf, tuv = _gather_tri_hit(
             scene, org, dirn, jnp.where(tri_sel, t_tri, 0.0), u, v, safe_tri)
         tmat = scene.mat.gather(safe_tri)
@@ -204,31 +200,11 @@ def _replay_hit(scene: Scene, org, dirn, t_min, rec) -> HitRecord:
 
 
 def _replay_shadow(scene: Scene, org, dirn, t_min, rec):
-    """(hit, p, emittance) for the recorded shadow outcome; the emittance
-    gather keeps light-parameter gradients flowing (finalize_shadow
-    semantics, GetLightColor CudaUtil.cuh:150-166)."""
-    r = org.shape[0]
-    hit = rec["s_hit"]
-    use_sphere = rec["s_sph"]
-    tri_sel = hit & ~use_sphere
-
-    t = jnp.full((r,), 0.0, jnp.float32)
-    emit = jnp.zeros((r, 3), jnp.float32)
-    if scene.num_tris > 0:
-        safe_tri = jnp.where(tri_sel, rec["s_pid"], 0)
-        t_tri, _, _, _ = mt_gather(scene.tris, safe_tri, org, dirn, t_min,
-                                   jnp.full((r,), BIG_T, jnp.float32))
-        t = jnp.where(tri_sel, t_tri, t)
-        emit = math3.gather_rows(scene.mat.emittance, safe_tri)
-    if scene.num_spheres > 0:
-        safe_sph = jnp.where(use_sphere, rec["s_pid"], 0)
-        sph_t = _sphere_t_at(scene, safe_sph, org, dirn, t_min)
-        t = jnp.where(use_sphere, sph_t, t)
-        s_emit = math3.gather_rows(scene.spheres.mat.emittance, safe_sph)
-        emit = jnp.where(use_sphere[:, None], s_emit, emit)
-
-    p = org + jnp.where(hit, t, 0.0)[:, None] * dirn
-    return hit, p, emit
+    """Recorded shadow outcome as (hit, prim_id, is_sphere) - NEE's
+    identity acceptance (nee_contribution) consumes the tape directly;
+    light emittance gradients flow through nee_contribution's own
+    gather."""
+    return rec["s_hit"], rec["s_pid"], rec["s_sph"]
 
 
 def replay_paths(scene: Scene, records, org, dirn, ray_ids, base_key,

@@ -64,10 +64,11 @@ def default_raycast(scene: Scene):
 
 
 def default_shadow_raycast(scene: Scene):
-    """Shadow-ray backend: (org, dir, t_min, t_max) -> (hit, p, emittance).
+    """Shadow-ray backend: (org, dir, t_min, t_max) ->
+    (hit, prim_id, is_sphere).
 
-    NEE only needs the hit point and the hit emittance (GetLightColor,
-    CudaUtil.cuh:150-166); these lean paths skip the full attribute
+    NEE only needs the winning primitive's identity (see
+    nee_contribution); these lean paths skip the full attribute
     interpolation of the primary raycast."""
     from pathtrace_tpu.ops.intersect import shadow_brute
 
@@ -79,7 +80,7 @@ def default_shadow_raycast(scene: Scene):
 
     def adapter(sc, o, d, tn, tx):
         hitrec = full(sc, o, d, tn, tx)
-        return hitrec.hit, hitrec.p, hitrec.mat.emittance
+        return hitrec.hit, hitrec.prim_id, hitrec.is_sphere
 
     if scene.clusters is not None or scene.bvh is not None:
         return adapter
@@ -105,6 +106,7 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     area = row[:, 9]
     light_normal = row[:, 10:13]
+    light_tri = math3.gather_rows(scene.lights, light_slot)
     # SamplePrimitive: r1 = sqrt(u), point = (1-r1)V0 + r1(1-r2)V1 + r1 r2 V2
     r1 = math3.safe_sqrt(draws[:, rng.COL_NEE_R1])[:, None]
     r2 = draws[:, rng.COL_NEE_R2][:, None]
@@ -121,11 +123,23 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
 
     # Shadow ray: origin ON the surface, t_min = 0, t_max = dist + 1
     # (GetLightColor) - backface culling prevents self-hit.
-    s_hit, s_p, s_emit = shadow_fn(
+    #
+    # Acceptance DEVIATES from the reference's |s_p - sample| < EPS ball
+    # test (CudaUtil.cuh:159): the ray reaches the light iff the winning
+    # primitive IS the sampled light triangle. The two agree except for
+    # emissive geometry coincident within EPS of the sampled point (the
+    # reference would shade with the occluder's emittance) - a
+    # measure-zero family - while the identity test is robust to float
+    # reassociation across differently-compiled programs (the EPS-ball
+    # margin is ~1e-5 at scene scale, inside cross-program noise, which
+    # made renders/gradients nondeterministic across engines).
+    s_hit, s_prim, s_sph = shadow_fn(
         jax.lax.stop_gradient(hit.p), jax.lax.stop_gradient(sdir),
         jnp.zeros_like(dist), jax.lax.stop_gradient(dist) + 1.0)
-    reached = s_hit & (math3.length(s_p - point) < EPS)
-    light_color = jnp.where(reached[:, None], s_emit, 0.0)
+    reached = s_hit & ~s_sph & (s_prim == light_tri)
+    # The sampled light's own emittance (differentiable gather).
+    l_emit = math3.gather_rows(scene.mat.emittance, light_tri)
+    light_color = jnp.where(reached[:, None], l_emit, 0.0)
 
     cos_a = jnp.maximum(dot(light_normal, normalize(hit.p - point)), 0.0)
     pdf_light = math3.safe_div(jnp.ones_like(area), area) / nl

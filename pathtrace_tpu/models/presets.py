@@ -49,12 +49,12 @@ PRESETS = {
         width=256, height=256, spp=256,
         cfg=IntegratorConfig(nee=False),
     ),
-    # configs[2] - dense mesh stand-in for the bunny OBJ (~82k tris)
+    # configs[2] - bunny-class real OBJ asset through the OBJ/MTL loader
     "mesh512": Preset(
         name="mesh512",
-        description="Dense triangulated mesh (~82k tris) with SAH BVH, "
-                    "512x512 @ 256spp",
-        build_scene=lambda: procedural.sphere_mesh_scene(subdivisions=6),
+        description="82k-tri OBJ asset (assets/blob82k.obj) via the "
+                    "OBJ/MTL loader + SAH BVH, 512x512 @ 256spp",
+        build_scene=lambda: procedural.blob_mesh_scene(),
         width=512, height=512, spp=256,
     ),
     # configs[3]

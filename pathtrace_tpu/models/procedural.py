@@ -254,6 +254,22 @@ def sphere_mesh_scene(subdivisions=4, sphere_material=None,
     return Scene.build(Triangles.from_vertices(positions, normals), mat)
 
 
+def blob_mesh_scene(light_emit=LIGHT_EMIT, build_bvh: bool = False) -> Scene:
+    """Cornell room + the repo's committed 82k-tri OBJ asset
+    (assets/blob82k.obj, generated by tools/gen_mesh_asset.py), ingested
+    through the real OBJ/MTL loader - the analog of the reference's
+    assimp bunny import (renderer.cpp:108-115, model.h:77-93)."""
+    import os
+    from pathtrace_tpu.models.obj import load_obj_scene
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets",
+        "blob82k.obj")
+    room = cornell_walls(light_emit=light_emit)
+    return load_obj_scene(path, translation=(0.0, 10.0, 0.0), scale=6.0,
+                          extra=room, build_bvh=build_bvh)
+
+
 def glass_scene(light_emit=LIGHT_EMIT) -> Scene:
     """Reflection/refraction scene (BASELINE config 4): metal sphere +
     glass sphere (analytic) in the Cornell room."""

@@ -6,8 +6,11 @@ batches via counting-sort compaction by (alive, lobe) keys (SURVEY.md §2
 branchless (masked select over lobes, VPU) than a per-bounce sort - but
 the compaction op itself is needed for:
 
-- lobe-sorted shading experiments (wavefront.py `sort_lobes`)
-- the binned two-level traversal (rays grouped by BVH cluster)
+- the binned two-level traversal (rays grouped by BVH cluster,
+  accel/binned.py - the production consumer)
+- lobe-sorted shading (measured SLOWER than branchless on TPU: the
+  sort + 4 gather/scatter passes cost more than evaluating all four
+  lobes' VPU arithmetic on every lane; see tools/lobe_sort_bench.py)
 - any fixed-capacity queue maintenance
 
 Implemented as a stable vectorized counting sort: O(R*K) one-hot

@@ -287,18 +287,19 @@ def raycast_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
 
 def finalize_shadow(scene: Scene, org, dirn, t_min, t_max,
                     tri_hit, best_t, tri_idx):
-    """Minimal closest-hit result for NEE shadow rays: (hit, p, emittance).
+    """Minimal closest-hit result for NEE shadow rays:
+    (hit, prim_id, is_sphere).
 
-    GetLightColor (CudaUtil.cuh:150-166) only consumes the hit point and
-    the hit material's emittance, so shadow rays skip the full attribute
-    interpolation + material gather of finalize_hit (~25 gathers).
-    The emittance gather stays differentiable (light_color gradients).
+    NEE's visibility test (GetLightColor, CudaUtil.cuh:150-166) only needs
+    the IDENTITY of the winning primitive: the ray reaches the sampled
+    light iff the winner is that light triangle (see nee_contribution),
+    so shadow rays skip hit-point construction, attribute interpolation,
+    and the emittance gather entirely.
     """
     r = org.shape[0]
     best_t = jnp.where(tri_hit, best_t, jnp.inf)
     use_sphere = jnp.zeros((r,), bool)
     sph_idx = jnp.zeros((r,), jnp.int32)
-    sph_t = jnp.full((r,), jnp.inf, jnp.float32)
     if scene.num_spheres > 0:
         cur_max = jnp.where(tri_hit, best_t, t_max)
         st, svalid = intersect_spheres_all(scene.spheres, org, dirn, t_min,
@@ -308,25 +309,13 @@ def finalize_shadow(scene: Scene, org, dirn, t_min, t_max,
         use_sphere = sph_hit & (~tri_hit | (sph_t < best_t))
 
     hit = tri_hit | use_sphere
-    t_final = jnp.where(use_sphere, sph_t, best_t)
-    t_safe = jnp.where(hit, t_final, 0.0)
-    p = org + t_safe[:, None] * dirn
-
-    if scene.num_tris > 0:
-        emit = math3.gather_rows(scene.mat.emittance,
-                                 jnp.where(tri_hit, tri_idx, 0))
-    else:
-        emit = jnp.zeros((r, 3), jnp.float32)
-    if scene.num_spheres > 0:
-        s_emit = math3.gather_rows(scene.spheres.mat.emittance,
-                                   jnp.where(use_sphere, sph_idx, 0))
-        emit = jnp.where(use_sphere[:, None], s_emit, emit)
-    return hit, p, emit
+    prim_id = jnp.where(use_sphere, sph_idx, tri_idx)
+    return hit, prim_id, use_sphere
 
 
 def shadow_brute(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
                  t_min, t_max):
-    """Brute-force shadow raycast -> (hit, p, emittance)."""
+    """Brute-force shadow raycast -> (hit, prim_id, is_sphere)."""
     r = org.shape[0]
     best_t = jnp.full((r,), jnp.inf, jnp.float32)
     tri_idx = jnp.zeros((r,), jnp.int32)

@@ -194,15 +194,13 @@ def raycast_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray,
 
 
 def shadow_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray, t_min, t_max):
-    """MXU-matmul shadow raycast -> (hit, p, emittance).
+    """MXU-matmul shadow raycast -> (hit, prim_id, is_sphere).
 
-    The matmul search runs at the TPU's default (bf16-input) precision -
-    fine for picking the winning primitive, but its t would land the hit
-    point s_p off by ~0.4%, which breaks NEE's |s_p - sample| < EPS
-    acceptance (GetLightColor, CudaUtil.cuh:159). Recompute t exactly at
-    the winner with the elementwise Moller-Trumbore before building p.
+    NEE's acceptance only consumes the winner's identity (see
+    nee_contribution), so no exact-t recompute is needed - the search t
+    is used only to order the winner against the sphere scan.
     """
-    from pathtrace_tpu.ops.intersect import BIG_T, finalize_shadow, mt_gather
+    from pathtrace_tpu.ops.intersect import finalize_shadow
     import jax
 
     org_d = jax.lax.stop_gradient(org)
@@ -210,9 +208,6 @@ def shadow_matmul(scene, org: jnp.ndarray, dirn: jnp.ndarray, t_min, t_max):
     hit, best_t, idx, _, _ = mt_closest_auto(
         scene.mt, org_d, dirn_d, jax.lax.stop_gradient(t_min),
         jax.lax.stop_gradient(t_max))
-    t2, _, _, _ = mt_gather(scene.tris, idx, org_d, dirn_d, t_min,
-                            jnp.full_like(t_max, BIG_T))
-    best_t = jnp.where(hit, t2, best_t)
     return finalize_shadow(scene, org_d, dirn_d, t_min, t_max, hit, best_t,
                            idx)
 

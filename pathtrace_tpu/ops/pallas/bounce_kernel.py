@@ -67,7 +67,7 @@ _A_OPAC, _A_ROUGH, _A_METAL = 45, 46, 47
 class FusedPack:
     """Device-resident scene pack for the fused bounce kernel."""
 
-    m_packed: jnp.ndarray   # (4*T_pad, 16) bf16: [det; t_num; u_num; v_num]
+    m_packed: jnp.ndarray   # (4*T_pad, 48) bf16: [M_hi | M_hi | M_lo] split
     attrs_hi: jnp.ndarray   # (ATTR_ROWS, T_pad) bf16  \
     attrs_mid: jnp.ndarray  # (ATTR_ROWS, T_pad) bf16   > exact bf16x3 split
     attrs_lo: jnp.ndarray   # (ATTR_ROWS, T_pad) bf16  /
@@ -96,9 +96,19 @@ def build_fused_pack(scene) -> FusedPack:
     assert t_pad <= MAX_TRIS, (t_pad, MAX_TRIS)
     assert scene.num_spheres <= MAX_UNROLL
     assert scene.num_lights <= MAX_UNROLL
-    m_packed = np.concatenate(
+    # bf16 hi+lo split of the coefficient matrix, packed for the ONE
+    # K=48 search matmul [M_hi | M_hi | M_lo] @ [f_hi; f_lo; f_hi]:
+    # recovers ~1.6e-5 relative product precision (bf16-only features
+    # were ~1% off - unable to order the light 0.3%-of-t below the
+    # ceiling, which silently killed NEE and emissive hits).
+    m16 = np.concatenate(
         [np.asarray(mt.det).T, np.asarray(mt.t_num).T,
-         np.asarray(mt.u_num).T, np.asarray(mt.v_num).T], axis=0)
+         np.asarray(mt.u_num).T, np.asarray(mt.v_num).T],
+        axis=0).astype(np.float32)
+    import ml_dtypes as _mld
+    m_hi = m16.astype(_mld.bfloat16)
+    m_lo = (m16 - m_hi.astype(np.float32)).astype(_mld.bfloat16)
+    m_packed = np.concatenate([m_hi, m_hi, m_lo], axis=1)
 
     tr, mat = scene.tris, scene.mat
     t = scene.num_tris
@@ -132,13 +142,17 @@ def build_fused_pack(scene) -> FusedPack:
         sph[:, 14] = np.asarray(sp.mat.roughness)
         sph[:, 15] = np.asarray(sp.mat.metallic)
 
-    li = np.zeros((max(scene.num_lights, 1), 16), np.float32)
+    # light rows: [v0 v1 v2 area normal | tri_id | emittance] (17 cols);
+    # tri ids are exact in f32 (< 2^24)
+    li = np.zeros((max(scene.num_lights, 1), 17), np.float32)
     if scene.num_lights:
         li[:, :13] = np.asarray(scene.light_pack)[:scene.num_lights]
+        lids = np.asarray(scene.lights)[:scene.num_lights]
+        li[:, 13] = lids.astype(np.float32)
+        li[:, 14:17] = np.asarray(mat.emittance)[lids]
 
-    import ml_dtypes
     return FusedPack(
-        m_packed=jnp.asarray(m_packed.astype(ml_dtypes.bfloat16)),
+        m_packed=jnp.asarray(m_packed),
         attrs_hi=jnp.asarray(hi), attrs_mid=jnp.asarray(mid),
         attrs_lo=jnp.asarray(lo),
         spheres=jnp.asarray(sph), lights=jnp.asarray(li),
@@ -187,39 +201,64 @@ def _features16(org, dirn):
     return jnp.concatenate([ones, org, dirn, douter], axis=0)
 
 
-def _closest_tri(m_ref, org, dirn, tmin, tmax, t_pad):
+ACCEPT_SLACK = 1e-4  # relative accept-band widening vs split precision
+
+
+def _closest_tri(m_ref, org, dirn, tmin, tmax, t_pad, exclude=None):
     """Winner search over all triangles: (hit, t_approx, arg) rows.
 
-    Accept tests on raw numerators (det >= EPS > 0 keeps inequality
-    direction), approximate-reciprocal t for the ordering key only.
+    The MT products run as ONE K=48 matmul of the bf16 hi/lo split pack
+    [M_hi | M_hi | M_lo] @ [f_hi; f_lo; f_hi] = M_hi f_hi + M_hi f_lo +
+    M_lo f_hi ~ M f to ~1.6e-5 relative - enough to order the
+    reference's light 0.3%-of-t below the ceiling, which plain-bf16
+    products could not (the MXU pads K to 128, so K=48 costs the same as
+    K=16). Accept tests carry a tiny ACCEPT_SLACK band; t/u/v are still
+    recomputed exactly at the winner with the elementwise MT.
+
+    `exclude`: optional (1, B) i32 triangle id masked out per lane (the
+    NEE shadow path identity-tests the winner against the sampled light).
     """
-    ft = _features16(org, dirn).astype(jnp.bfloat16)
-    prods = jnp.dot(m_ref[:], ft, preferred_element_type=jnp.float32)
+    ft = _features16(org, dirn)
+    fh = ft.astype(jnp.bfloat16)
+    fl = (ft - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    f48 = jnp.concatenate([fh, fl, fh], axis=0)
+    prods = jnp.dot(m_ref[:], f48, preferred_element_type=jnp.float32)
     det = prods[0 * t_pad:1 * t_pad]
     t_num = prods[1 * t_pad:2 * t_pad]
     u_num = prods[2 * t_pad:3 * t_pad]
     v_num = prods[3 * t_pad:4 * t_pad]
+    sl = ACCEPT_SLACK
+    # exact f32 divide for the ordering key: approx reciprocal (~2e-4
+    # rel) would eat most of the split products' precision
+    t = t_num / jnp.maximum(det, 1e-30)
+    band = sl * (1.0 + jnp.abs(t))  # slack relative to t, NOT to the
+    # tmax sentinel (sl * 999999 once admitted behind-the-origin tris)
     valid = (det >= EPS)
-    valid &= (t_num >= tmin * det) & (t_num <= tmax * det)
-    valid &= (u_num >= 0.0) & (u_num <= det)
-    valid &= (v_num >= 0.0) & (u_num + v_num <= det)
-    t = t_num * pl.reciprocal(jnp.maximum(det, 1e-30), approx=True)
+    valid &= (t >= tmin - band) & (t <= tmax + band)
+    valid &= (u_num >= -sl * det) & (u_num <= det * (1.0 + sl))
+    valid &= (v_num >= -sl * det) & (u_num + v_num <= det * (1.0 + 2 * sl))
     t_masked = jnp.where(valid, t, BIG)
-    best = jnp.min(t_masked, axis=0, keepdims=True)
     tri = jax.lax.broadcasted_iota(jnp.int32, t_masked.shape, 0)
+    if exclude is not None:
+        t_masked = jnp.where(tri == exclude, BIG, t_masked)
+    best = jnp.min(t_masked, axis=0, keepdims=True)
     arg = jnp.min(jnp.where(t_masked <= best, tri, t_pad), axis=0,
                   keepdims=True)
     hit = best < BIG
     return hit, best, jnp.minimum(arg, t_pad - 1)
 
 
-def _fetch_attrs(arg, ah_ref, am_ref, al_ref, t_pad):
-    """Exact one-hot gather of the (ATTR_ROWS,) column at arg: (48, B)."""
+def _fetch_attrs(arg, ah_ref, am_ref, al_ref, t_pad, rows=None):
+    """Exact one-hot gather of the attr column at arg: (rows, B).
+
+    rows=(start, stop) fetches a row slice (the shadow path needs only
+    v0/e1/e2); default all ATTR_ROWS."""
+    r0, r1 = rows if rows is not None else (0, ATTR_ROWS)
     iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad,) + arg.shape[1:], 0)
     oh = (iota == arg).astype(jnp.bfloat16)
-    acc = jnp.dot(ah_ref[:], oh, preferred_element_type=jnp.float32)
-    acc += jnp.dot(am_ref[:], oh, preferred_element_type=jnp.float32)
-    acc += jnp.dot(al_ref[:], oh, preferred_element_type=jnp.float32)
+    acc = jnp.dot(ah_ref[r0:r1], oh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(am_ref[r0:r1], oh, preferred_element_type=jnp.float32)
+    acc += jnp.dot(al_ref[r0:r1], oh, preferred_element_type=jnp.float32)
     return acc
 
 
@@ -312,7 +351,13 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
                    m_ref, ah_ref, am_ref, al_ref, sf_ref, si_ref,
                    sf_out, si_out, rays_out, *,
                    cfg, t_pad, num_spheres, num_lights,
-                   lanes_total, num_pix, width, height, k_pix):
+                   lanes_total, num_pix, width, height, k_pix,
+                   ablate=frozenset()):
+    """ablate: profiling-only section kill switches ("raycast", "fetch",
+    "nee", "bsdf", "spheres", "rng", "regen") - each replaces a section
+    with cheap placeholder values so its cost can be measured by
+    difference on hardware (tools/fused_microbench.py). Never set in
+    production paths; results are meaningless images."""
     org = sf_ref[0:3]
     dirn = sf_ref[3:6]
     radiance = sf_ref[6:9]
@@ -329,19 +374,37 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
     base_path = misc_ref[0, 0]
     total_paths = misc_ref[0, 1]
 
-    u = _draws8(ray_ids, lane_iter, k0, k1)
-
     zeros1 = jnp.zeros_like(depth).astype(jnp.float32)
+    if "rng" in ablate:
+        u = [zeros1 + 0.5] * 8
+    else:
+        u = _draws8(ray_ids, lane_iter, k0, k1)
+
     tmin = zeros1
     tmax = zeros1 + BIG_T
 
     # ---- primary raycast (RayCast, CudaUtil.cuh:93-148)
-    tri_hit, t_approx, arg = _closest_tri(m_ref, org, dirn, tmin, tmax, t_pad)
-    attrs = _fetch_attrs(arg, ah_ref, am_ref, al_ref, t_pad)
+    if "raycast" in ablate:
+        tri_hit = zeros1 < 1.0
+        t_approx = zeros1 + 10.0
+        arg = jnp.remainder(ray_ids, t_pad)
+    else:
+        tri_hit, t_approx, arg = _closest_tri(m_ref, org, dirn, tmin, tmax,
+                                              t_pad)
+    if "fetch" in ablate:
+        attrs = (jnp.remainder(arg, 7).astype(jnp.float32) * 1e-3
+                 * jnp.ones((ATTR_ROWS, 1), jnp.float32))
+    else:
+        attrs = _fetch_attrs(arg, ah_ref, am_ref, al_ref, t_pad)
     v0 = attrs[_A_V0:_A_V0 + 3]
     e1 = attrs[_A_E1:_A_E1 + 3]
     e2 = attrs[_A_E2:_A_E2 + 3]
-    t_x, u_x, v_x, _ = _mt_exact(v0, e1, e2, org, dirn, tmin, tmax)
+    if "mtexact" in ablate:
+        t_x, u_x, v_x = t_approx, zeros1 + 0.3, zeros1 + 0.3
+    else:
+        t_x, u_x, v_x, ok_x = _mt_exact(v0, e1, e2, org, dirn, tmin, tmax)
+        # exact validity gates the slack-band accepts of the search
+        tri_hit = tri_hit & ok_x
     tri_t = jnp.where(tri_hit, t_x, BIG)
 
     # sphere scan against the running closest t (finalize_hit)
@@ -430,7 +493,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
     # ---- NEE (CudaUtil.cuh:234-272)
     shadow_count = jnp.zeros_like(zeros1)
-    if cfg.nee and num_lights > 0:
+    if cfg.nee and num_lights > 0 and "nee" not in ablate:
         slot = jnp.minimum((u[0] * num_lights).astype(jnp.int32),
                            num_lights - 1)
         lv0 = _light_vec(light_ref, num_lights, slot, 0, zeros1)
@@ -446,33 +509,26 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         dist = jnp.sqrt(jnp.maximum(dist2, TINY))
         sdir = normalize3(to_light)
 
-        # shadow ray (GetLightColor, CudaUtil.cuh:150-166): t in [0, dist+1]
+        # shadow ray (GetLightColor, CudaUtil.cuh:150-166): t in [0, dist+1].
+        # Identity acceptance (winner == sampled light tri; see
+        # nee_contribution for the deviation note) - the split-precision
+        # search orders the light correctly against near-coincident
+        # geometry, so no exact recompute or attribute fetch is needed.
         s_tmax = dist + 1.0
         s_hit_tri, s_t_approx, s_arg = _closest_tri(
             m_ref, hit_p, sdir, zeros1, s_tmax, t_pad)
-        s_attrs = _fetch_attrs(s_arg, ah_ref, am_ref, al_ref, t_pad)
-        s_tx, _, _, _ = _mt_exact(
-            s_attrs[_A_V0:_A_V0 + 3], s_attrs[_A_E1:_A_E1 + 3],
-            s_attrs[_A_E2:_A_E2 + 3], hit_p, sdir, zeros1, zeros1 + BIG_T)
-        s_tri_t = jnp.where(s_hit_tri, s_tx, BIG)
-        s_emit = s_attrs[_A_EMIT:_A_EMIT + 3]
         if num_spheres:
-            s_cur = jnp.where(s_hit_tri, s_tri_t, s_tmax)
-            so_hit, so_t, so_s = _closest_sphere(
+            s_cur = jnp.where(s_hit_tri, s_t_approx, s_tmax)
+            so_hit, so_t, _ = _closest_sphere(
                 sph_ref, num_spheres, hit_p, sdir, zeros1, s_cur)
-            s_use_sph = so_hit & (~s_hit_tri | (so_t < s_tri_t))
-            so_emit = jnp.concatenate(
-                [_sphere_select(sph_ref, num_spheres, so_s, 4 + j, zeros1)
-                 for j in range(3)], axis=0)
-            s_emit = jnp.where(s_use_sph, so_emit, s_emit)
-            s_hit = s_hit_tri | s_use_sph
-            s_tfin = jnp.where(s_use_sph, so_t, s_tri_t)
+            s_use_sph = so_hit & (~s_hit_tri | (so_t < s_t_approx))
         else:
-            s_hit = s_hit_tri
-            s_tfin = s_tri_t
-        s_p = hit_p + jnp.where(s_hit, s_tfin, 0.0) * sdir
-        reached = s_hit & (len3(s_p - point) < EPS)
-        light_color = jnp.where(reached, s_emit, 0.0)
+            s_use_sph = jnp.zeros_like(s_hit_tri) & False
+        light_id = _light_select(light_ref, num_lights, slot, 13, zeros1)
+        reached = (s_hit_tri & ~s_use_sph
+                   & (s_arg == light_id.astype(jnp.int32)))
+        l_emit = _light_vec(light_ref, num_lights, slot, 14, zeros1)
+        light_color = jnp.where(reached, l_emit, 0.0)
 
         cos_a = jnp.maximum(dot3(l_normal, normalize3(hit_p - point)), 0.0)
         pdf_light = bsdf_t.safe_div(jnp.ones_like(area), area) / num_lights
@@ -487,10 +543,14 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
     # ---- BSDF sampling (CudaUtil.cuh:276-338); wavefront is primal-only,
     # no detach needed (stop_gradient has no effect on the primal anyway)
-    wi = bsdf_t.sample_bsdf(mat, frame, wo, u[3], u[4], u[5])
-    w1 = bsdf_t.eval_bsdfcos(mat, frame, wo, wi)
-    w2 = jnp.maximum(bsdf_t.pdf_bsdf(mat, frame, wo, wi), cfg.pdf_clamp)
-    current_weight = w1 / w2
+    if "bsdf" in ablate:
+        wi = frame["normal"]
+        current_weight = mat["albedo"]
+    else:
+        wi = bsdf_t.sample_bsdf(mat, frame, wo, u[3], u[4], u[5])
+        w1 = bsdf_t.eval_bsdfcos(mat, frame, wo, wi)
+        w2 = jnp.maximum(bsdf_t.pdf_bsdf(mat, frame, wo, wi), cfg.pdf_clamp)
+        current_weight = w1 / w2
 
     dead_sample = sqlen3(wi) <= EPS
     cont = live_hit & ~dead_sample
@@ -537,8 +597,18 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
                  for k in range(k_pix)]
         film = jnp.concatenate(parts, axis=0)
 
+    # Regeneration considers EVERY non-continuing lane (not only freshly
+    # died ones): _run_fused starts all lanes dead with ray_ids one
+    # stride behind, so every camera ray - including the first one a
+    # lane traces - is generated by THIS code path. (A separate XLA-side
+    # init raygen computed the same formulas with different rounding;
+    # sphere transport is chaotic enough that the ~1e-7 direction
+    # differences became macroscopic per-path divergence between chunked
+    # and single launches of the same render.)
     new_idx = ray_ids + lanes_total
-    regen = died & (new_idx - base_path < total_paths)
+    regen = ~alive_next & (new_idx - base_path < total_paths)
+    if "regen" in ablate:
+        regen = regen & (zeros1 > 1.0)
     new_safe = jnp.where(regen, new_idx, 0)
     pixel = jnp.remainder(new_safe, num_pix)
     px = jnp.remainder(pixel, width).astype(jnp.float32)
@@ -556,7 +626,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
     org = jnp.where(regen, r_org, org)
     dirn = jnp.where(regen, r_dir, dirn)
-    radiance = jnp.where(regen, 0.0, radiance)
+    radiance = jnp.where(regen | died, 0.0, radiance)
     weight = jnp.where(regen, 1.0, weight)
     depth = jnp.where(regen, 0, depth)
     refract_cnt = jnp.where(regen, 0, refract_cnt)
@@ -580,10 +650,11 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "lanes", "k_pix", "width", "height",
-                              "block_r", "interpret"))
+                              "block_r", "interpret", "ablate"))
 def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
                       cfg, lanes, k_pix, width, height,
-                      block_r: int = 2048, interpret: bool = False):
+                      block_r: int = 2048, interpret: bool = False,
+                      ablate: frozenset = frozenset()):
     """One wavefront iteration over all lanes. State rows in, state rows
     out, plus a (1, lanes) per-lane ray-count row."""
     block_r = min(block_r, lanes)
@@ -604,9 +675,10 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
 
     kernel = functools.partial(
         _bounce_kernel, cfg=cfg, t_pad=t_pad,
-        num_spheres=pack.num_spheres, num_lights=pack.num_lights,
+        num_spheres=0 if "spheres" in ablate else pack.num_spheres,
+        num_lights=pack.num_lights,
         lanes_total=lanes, num_pix=width * height, width=width,
-        height=height, k_pix=k_pix)
+        height=height, k_pix=k_pix, ablate=ablate)
 
     sf2, si2, rays = pl.pallas_call(
         kernel,
@@ -617,7 +689,7 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
             smem((1, 16)),                     # camera f32
             smem(pack.spheres.shape),          # spheres f32
             smem(pack.lights.shape),           # lights f32
-            rep((4 * t_pad, 16)),              # m_packed bf16
+            rep((4 * t_pad, 48)),              # m_packed bf16 hi/lo split
             rep((ATTR_ROWS, t_pad)),           # attrs hi
             rep((ATTR_ROWS, t_pad)),           # attrs mid
             rep((ATTR_ROWS, t_pad)),           # attrs lo
@@ -663,34 +735,22 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
     misc = jnp.stack([base_path, total_paths])[None, :]
     key2 = jnp.stack([base_key[0], base_key[1]])[None, :]
 
-    # initial rays: same raygen formulas as the XLA wavefront (one-time)
+    # All lanes start DEAD with ray_ids one stride behind their first
+    # path: the kernel's own regeneration issues every camera ray, so
+    # initial and regenerated rays are bit-identical regardless of
+    # chunking (see the regen comment in _bounce_kernel). Costs one
+    # regen-only iteration per launch.
     local0 = jnp.arange(lanes, dtype=jnp.int32)
-    init_ids = base_path + local0
-    pixel = jnp.remainder(init_ids, num_pix)
-    px = jnp.remainder(pixel, width).astype(jnp.float32)
-    py = (pixel // width).astype(jnp.float32)
-    ju = rng.pixel_jitter(base_key, init_ids)
-    sx = 2.0 * ((px + ju[:, 0]) / (width - 1) - 0.5)
-    sy = 2.0 * ((py + ju[:, 1]) / (height - 1) - 0.5)
-    fwd = cam16[0, 3:6]
-    upv = cam16[0, 6:9]
-    rgt = cam16[0, 9:12]
-    d = (fwd[None, :] + (sx * cam16[0, 12])[:, None] * rgt[None, :]
-         - (sy * cam16[0, 13])[:, None] * upv[None, :])
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
     sf_rows = 12 + 3 * k_pix
     sf = jnp.zeros((sf_rows, lanes), jnp.float32)
-    sf = sf.at[0:3].set(jnp.broadcast_to(cam16[0, 0:3][:, None], (3, lanes)))
-    sf = sf.at[3:6].set(d.T)
-    sf = sf.at[9:12].set(1.0)
+    sf = sf.at[3:5].set(1.0)  # nonzero dir placeholder for dead lanes
     si = jnp.zeros((6, lanes), jnp.int32)
-    si = si.at[3].set((local0 < total_paths).astype(jnp.int32))
-    si = si.at[4].set(init_ids)
+    si = si.at[4].set(base_path + local0 - lanes)
 
     def cond(state):
         _, si_c, _ = state
-        return jnp.any(si_c[3] != 0)
+        pool_left = jnp.any(si_c[4] + lanes - base_path < total_paths)
+        return jnp.any(si_c[3] != 0) | pool_left
 
     def body(state):
         sf_c, si_c, rays_c = state

