@@ -35,6 +35,13 @@ def cmd_render(args) -> int:
     passes = max(args.passes, 1)
     spp_per_pass = max(spp // passes, 1)
     use_wavefront = args.engine == "wavefront"
+    cfg = preset.cfg
+    if getattr(args, "hemisphere", "cosine") != cfg.hemisphere:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, hemisphere=args.hemisphere)
+    if getattr(args, "no_nee", False):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, nee=False)
 
     start_pass = 0
     accum = jnp.zeros((h, w, 3), jnp.float32)
@@ -55,10 +62,10 @@ def cmd_render(args) -> int:
             from pathtrace_tpu.integrator.wavefront import (
                 render_wavefront_chunked)
             pass_img, _ = render_wavefront_chunked(
-                scene, camera, spp_per_pass, pass_key, preset.cfg)
+                scene, camera, spp_per_pass, pass_key, cfg)
         else:
             pass_img = render(scene, camera, spp_per_pass, pass_key,
-                              preset.cfg)
+                              cfg)
         accum = accum + pass_img
         accum.block_until_ready()
         dt = time.perf_counter() - t0
@@ -155,6 +162,13 @@ def main(argv=None) -> int:
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--engine", default="wavefront",
                     choices=("wavefront", "megakernel"))
+    pr.add_argument("--hemisphere", default="cosine",
+                    choices=("cosine", "uniform"),
+                    help="diffuse hemisphere sampling A/B "
+                         "(Bxdf.cuh:23-41, Img/Render/64sppWith*.png)")
+    pr.add_argument("--no-nee", dest="no_nee", action="store_true",
+                    help="disable next-event estimation "
+                         "(README.md:56-58 A/B)")
     pr.set_defaults(fn=cmd_render)
 
     pg = sub.add_parser("grad-check", help="autodiff vs FD oracle")

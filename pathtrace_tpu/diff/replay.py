@@ -236,15 +236,60 @@ def replay_paths(scene: Scene, records, org, dirn, ray_ids, base_key,
 # user-facing: render + material grads via record/replay
 # ---------------------------------------------------------------------------
 
-def _camera_rays(scene: Scene, camera: Camera, sample_idx, base_key):
-    px, py = camera.pixel_grid()
-    num_pix = px.shape[0]
-    pixel_ids = jnp.arange(num_pix, dtype=jnp.int32)
+def _camera_rays(scene: Scene, camera: Camera, sample_idx, base_key,
+                 pix_offset=0, num_pix_local=None):
+    """Camera rays for sample `sample_idx`, optionally restricted to the
+    contiguous pixel slice [pix_offset, pix_offset + num_pix_local) - the
+    sharded path gives each chip a slice but keys RNG by GLOBAL ray id so
+    N-chip gradients are path-identical to 1-chip (SURVEY.md §4)."""
+    num_pix = camera.width * camera.height
+    npl = num_pix if num_pix_local is None else num_pix_local
+    pixel_ids = pix_offset + jnp.arange(npl, dtype=jnp.int32)
+    px = (pixel_ids % camera.width).astype(jnp.float32)
+    py = (pixel_ids // camera.width).astype(jnp.float32)
     ray_ids = sample_idx * num_pix + pixel_ids
     ju = rng.pixel_jitter(base_key, ray_ids)
     dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
     org = jnp.broadcast_to(camera.pos, dirs.shape)
     return org, dirs, ray_ids
+
+
+def _material_grads_replay_impl(scene: Scene, camera: Camera, spp: int,
+                                base_key, cfg, loss_grad_flat,
+                                pix_offset=0, num_pix_local=None):
+    """Record/replay gradient core over a pixel slice (full image when
+    num_pix_local is None). loss_grad_flat: (num_pix_local, 3) cotangent.
+    Returns (g_tri, g_sph, flat (num_pix_local, 3) image slice)."""
+    num_pix = camera.width * camera.height
+    npl = num_pix if num_pix_local is None else num_pix_local
+    ct = loss_grad_flat / float(spp)
+
+    def per_sample(carry, s):
+        g_tri, g_sph, accum = carry
+        org, dirs, ray_ids = _camera_rays(scene, camera, s, base_key,
+                                          pix_offset, num_pix_local)
+        _, records = record_paths(scene, org, dirs, ray_ids, base_key, cfg)
+
+        def f(tri_mat, sph_mat):
+            sc = replace(scene, mat=tri_mat,
+                         spheres=replace(scene.spheres, mat=sph_mat))
+            rad = replay_paths(sc, records, org, dirs, ray_ids, base_key,
+                               cfg)
+            return jnp.sum(rad * ct), rad
+
+        (_, rad), grads = jax.value_and_grad(f, argnums=(0, 1),
+                                             has_aux=True)(
+            scene.mat, scene.spheres.mat)
+        g_tri = jax.tree.map(jnp.add, g_tri, grads[0])
+        g_sph = jax.tree.map(jnp.add, g_sph, grads[1])
+        return (g_tri, g_sph, accum + rad), None
+
+    zero_tri = jax.tree.map(jnp.zeros_like, scene.mat)
+    zero_sph = jax.tree.map(jnp.zeros_like, scene.spheres.mat)
+    accum0 = jnp.zeros((npl, 3), jnp.float32)
+    (g_tri, g_sph, accum), _ = jax.lax.scan(
+        per_sample, (zero_tri, zero_sph, accum0), jnp.arange(spp))
+    return g_tri, g_sph, accum / spp
 
 
 @partial(jax.jit, static_argnames=("spp", "cfg"))
@@ -265,31 +310,7 @@ def material_grads_replay(scene: Scene, camera: Camera, spp: int, base_key,
     if loss_grad_img is None:
         loss_grad_img = jnp.ones((camera.height, camera.width, 3),
                                  jnp.float32)
-    ct = loss_grad_img.reshape(num_pix, 3) / float(spp)
-
-    def per_sample(carry, s):
-        g_tri, g_sph, accum = carry
-        org, dirs, ray_ids = _camera_rays(scene, camera, s, base_key)
-        _, records = record_paths(scene, org, dirs, ray_ids, base_key, cfg)
-
-        def f(tri_mat, sph_mat):
-            sc = replace(scene, mat=tri_mat,
-                         spheres=replace(scene.spheres, mat=sph_mat))
-            rad = replay_paths(sc, records, org, dirs, ray_ids, base_key,
-                               cfg)
-            return jnp.sum(rad * ct), rad
-
-        (_, rad), grads = jax.value_and_grad(f, argnums=(0, 1),
-                                             has_aux=True)(
-            scene.mat, scene.spheres.mat)
-        g_tri = jax.tree.map(jnp.add, g_tri, grads[0])
-        g_sph = jax.tree.map(jnp.add, g_sph, grads[1])
-        return (g_tri, g_sph, accum + rad), None
-
-    zero_tri = jax.tree.map(jnp.zeros_like, scene.mat)
-    zero_sph = jax.tree.map(jnp.zeros_like, scene.spheres.mat)
-    accum0 = jnp.zeros((num_pix, 3), jnp.float32)
-    (g_tri, g_sph, accum), _ = jax.lax.scan(
-        per_sample, (zero_tri, zero_sph, accum0), jnp.arange(spp))
-    img = (accum / spp).reshape(camera.height, camera.width, 3)
-    return g_tri, g_sph, img
+    g_tri, g_sph, flat = _material_grads_replay_impl(
+        scene, camera, spp, base_key, cfg,
+        loss_grad_img.reshape(num_pix, 3))
+    return g_tri, g_sph, flat.reshape(camera.height, camera.width, 3)

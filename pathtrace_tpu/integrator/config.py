@@ -20,6 +20,12 @@ class IntegratorConfig:
     miss_radiance: tuple = (0.1, 0.1, 0.1)  # miss -> +0.1 gray (CudaUtil.cuh:377)
     pdf_clamp: float = 1e-2      # weight = eval/max(pdf, 1e-2) (CudaUtil.cuh:291 etc.)
     nee: bool = True             # next-event estimation on/off (A/B in README.md:56-58)
+    # Diffuse-lobe hemisphere sampling: "cosine" (production) or
+    # "uniform" - the reference's committed sampling A/B (Bxdf.cuh:23-41
+    # SampleHemisphere; Img/Render/64sppWithCosineSampling.png vs
+    # 64sppWithUniformSampling.png). Uniform keeps the estimator unbiased
+    # via a 1/(2*pi) pdf; it only raises variance.
+    hemisphere: str = "cosine"
     # Detach sampling decisions/pdfs for unbiased material gradients
     # (has no effect on the primal render).
     detach_sampling: bool = True

@@ -208,10 +208,13 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
         u_lobe = draws[:, rng.COL_LOBE]
         u_phi = draws[:, rng.COL_PHI]
         u_ry = draws[:, rng.COL_RY]
-        wi = bsdf.sample_bsdf(hit.mat, frame, wo, u_lobe, u_phi, u_ry)
+        uni = cfg.hemisphere == "uniform"
+        wi = bsdf.sample_bsdf(hit.mat, frame, wo, u_lobe, u_phi, u_ry,
+                              uniform_hemi=uni)
         wi = _maybe_detach(wi, cfg)
         w1 = bsdf.eval_bsdfcos(hit.mat, frame, wo, wi)
-        w2 = jnp.maximum(bsdf.pdf_bsdf(hit.mat, frame, wo, wi), cfg.pdf_clamp)
+        w2 = jnp.maximum(bsdf.pdf_bsdf(hit.mat, frame, wo, wi,
+                                       uniform_hemi=uni), cfg.pdf_clamp)
         w2 = _maybe_detach(w2, cfg)
         current_weight = w1 / w2[:, None]
 

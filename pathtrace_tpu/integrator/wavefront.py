@@ -49,9 +49,32 @@ def _regen_rays(camera: Camera, path_idx, base_key, num_pix):
     return org, dirs, pixel
 
 
+def _make_to_global(num_pix_local, num_pix_total, pix_offset):
+    """Local path id -> GLOBAL path id for a contiguous pixel slice.
+
+    A sharded render gives each chip pixels [pix_offset, pix_offset +
+    num_pix_local) of the full image; the chip enumerates its own local
+    pool (sample * num_pix_local + local_pixel) for lane scheduling, but
+    RNG streams and camera rays must be keyed by the GLOBAL path id
+    (sample * num_pix_total + pix_offset + local_pixel) so an N-chip
+    render is path-for-path identical to the 1-chip render (SURVEY.md §4
+    shard-invariance). Identity when the slice is the whole image.
+    """
+    if num_pix_total is None or (num_pix_local == num_pix_total):
+        return lambda local: local
+
+    def to_global(local):
+        sample = local // num_pix_local
+        lpix = local % num_pix_local
+        return sample * num_pix_total + pix_offset + lpix
+
+    return to_global
+
+
 def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
                   cfg: IntegratorConfig, lanes: int, sample_offset=0,
-                  path_capacity=None):
+                  path_capacity=None, pix_offset=0, num_pix_local=None,
+                  num_pix_total=None):
     """spp and sample_offset may be TRACED scalars: they only feed the
     dynamic while_loop bound and the path-id arithmetic, so one
     compilation serves every sample count and chunk (remote XLA compiles
@@ -77,7 +100,10 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
     per-pixel reduction becomes one dense reshape+sum at the end.
     (Benchmarked 4x slower than scatter-add; kept for experiments.)
     """
-    num_pix = camera.width * camera.height
+    num_pix = (camera.width * camera.height if num_pix_local is None
+               else num_pix_local)  # pixels THIS pool owns (a slice when
+    # sharded; path/lane arithmetic below runs in local ids)
+    to_global = _make_to_global(num_pix, num_pix_total, pix_offset)
     spp = jnp.asarray(spp, jnp.int32)
     base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
     total_paths = num_pix * spp
@@ -100,9 +126,11 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
     else:
         film = jnp.zeros((path_capacity, 3), jnp.float32)
 
+    npt = num_pix if num_pix_total is None else num_pix_total
     local0 = jnp.arange(lanes, dtype=jnp.int32)
     init_ids = base_path + local0
-    org0, dir0, pixel0 = _regen_rays(camera, init_ids, base_key, num_pix)
+    org0, dir0, _ = _regen_rays(camera, to_global(init_ids), base_key, npt)
+    pixel0 = init_ids % num_pix  # film-local pixel (pool fallback)
     alive0 = local0 < total_paths  # lanes may exceed tiny pools
 
     state = dict(
@@ -129,8 +157,8 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
         (org, dirn, radiance, weight, depth, refract_cnt, refracted,
          alive_next, traced) = bounce(
             s["org"], s["dirn"], s["radiance"], s["weight"], s["depth"],
-            s["refract_cnt"], s["refracted"], s["alive"], s["ray_ids"],
-            s["lane_iter"])
+            s["refract_cnt"], s["refracted"], s["alive"],
+            to_global(s["ray_ids"]), s["lane_iter"])
 
         died = s["alive"] & ~alive_next
         contrib = jnp.where(died[:, None], radiance, 0.0)
@@ -166,8 +194,9 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
             new_local = s["next_path"] + slot
             regen = died & (new_local < total_paths)
             new_idx_safe = jnp.where(regen, base_path + new_local, 0)
-        r_org, r_dir, r_pixel = _regen_rays(camera, new_idx_safe, base_key,
-                                            num_pix)
+        r_org, r_dir, _ = _regen_rays(camera, to_global(new_idx_safe),
+                                      base_key, npt)
+        r_pixel = new_idx_safe % num_pix
 
         sel = regen[:, None]
         out = dict(
@@ -203,6 +232,11 @@ def _run_wavefront(scene: Scene, camera: Camera, spp, base_key,
     else:
         film_pix = state["film"].reshape(path_capacity // num_pix,
                                          num_pix, 3).sum(axis=0)
+    if num_pix_local is not None:
+        # sharded slice: hand back the flat (num_pix_local, 3) film; the
+        # shard_map caller assembles the full image from the slices
+        return (film_pix.reshape(num_pix, 3) / spp.astype(jnp.float32),
+                state["rays"])
     img = (film_pix.reshape(camera.height, camera.width, 3)
            / spp.astype(jnp.float32))
     return img, state["rays"]

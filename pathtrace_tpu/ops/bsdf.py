@@ -173,6 +173,21 @@ def sample_hemisphere_cosine(frame: ShadeFrame, u_phi: jnp.ndarray,
                      + ct[:, None] * frame.normal)
 
 
+def sample_hemisphere_uniform(frame: ShadeFrame, u_phi: jnp.ndarray,
+                              u_ct: jnp.ndarray) -> jnp.ndarray:
+    """Uniform hemisphere sampling - the reference's committed A/B against
+    cosine weighting (Bxdf.cuh:23-41 SampleHemisphere;
+    Img/Render/64sppWithUniformSampling.png vs 64sppWithCosineSampling.png).
+    cos(theta) = u uniform in [0,1); pdf = 1/(2*pi)."""
+    phi = 2.0 * PI * u_phi
+    ct = u_ct
+    st = safe_sqrt(1.0 - ct * ct)
+    x = jnp.cos(phi) * st
+    y = jnp.sin(phi) * st
+    return normalize(x[:, None] * frame.tangent + y[:, None] * frame.bitangent
+                     + ct[:, None] * frame.normal)
+
+
 # ---------------------------------------------------------------------------
 # Lobe 0: gltfpbr (Bxdf.cuh:160-207)
 # ---------------------------------------------------------------------------
@@ -195,10 +210,16 @@ def eval_gltfpbr(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
 
 
 def sample_gltfpbr(mat: Material, frame: ShadeFrame, wo,
-                   u_lobe, u_phi, u_ry) -> jnp.ndarray:
+                   u_lobe, u_phi, u_ry, uniform_hemi: bool = False
+                   ) -> jnp.ndarray:
     """(Bxdf.cuh:179-194). Returns wi; zero vector = dead sample (the
     reference returns {0,0,0} when the microfacet reflection lands in the
-    wrong hemisphere, which kills the path upstream, CudaUtil.cuh:335-338)."""
+    wrong hemisphere, which kills the path upstream, CudaUtil.cuh:335-338).
+
+    uniform_hemi reproduces the reference's uniform-vs-cosine hemisphere
+    A/B (Bxdf.cuh:23-41; Img/Render/64sppWith*Sampling.png) for the
+    diffuse branch; the pdf switches to 1/(2*pi) to keep the estimator
+    unbiased (higher variance, same converged image)."""
     n = frame.normal
     reflectivity = math3.lerp(mat.specular, mat.albedo, mat.metallic[:, None])
     f_mean = math3.mean3(fresnel_schlick(reflectivity, n, wo))
@@ -209,11 +230,15 @@ def sample_gltfpbr(mat: Material, frame: ShadeFrame, wo,
     bad = dot(n, wi_spec) * dot(n, wo) < -EPS
     wi_spec = jnp.where(bad[:, None], 0.0, wi_spec)
 
-    wi_diff = sample_hemisphere_cosine(frame, u_phi, u_ry)
+    if uniform_hemi:
+        wi_diff = sample_hemisphere_uniform(frame, u_phi, u_ry)
+    else:
+        wi_diff = sample_hemisphere_cosine(frame, u_phi, u_ry)
     return jnp.where(pick_spec[:, None], wi_spec, wi_diff)
 
 
-def pdf_gltfpbr(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
+def pdf_gltfpbr(mat: Material, frame: ShadeFrame, wo, wi,
+                uniform_hemi: bool = False) -> jnp.ndarray:
     n = frame.normal
     same_hemi = dot(n, wi) * dot(n, wo) > 0.0
     halfway = normalize(wo + wi)
@@ -222,7 +247,10 @@ def pdf_gltfpbr(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
     pdf_spec = math3.safe_div(
         sample_microfacet_pdf(mat.roughness, frame, halfway),
         4.0 * jnp.abs(dot(wo, halfway)))
-    pdf_diff = dot(n, wi) * INV_PI
+    if uniform_hemi:
+        pdf_diff = jnp.full(wo.shape[:-1], 0.5 * INV_PI)
+    else:
+        pdf_diff = dot(n, wi) * INV_PI
     pdf = f * pdf_spec + (1.0 - f) * pdf_diff
     return jnp.where(same_hemi, pdf, 0.0)
 
@@ -405,21 +433,23 @@ def eval_bsdfcos(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
 
 
 def sample_bsdf(mat: Material, frame: ShadeFrame, wo,
-                u_lobe, u_phi, u_ry) -> jnp.ndarray:
+                u_lobe, u_phi, u_ry, uniform_hemi: bool = False
+                ) -> jnp.ndarray:
     lobe = select_lobe(mat)
     return _select4(
         lobe,
-        sample_gltfpbr(mat, frame, wo, u_lobe, u_phi, u_ry),
+        sample_gltfpbr(mat, frame, wo, u_lobe, u_phi, u_ry, uniform_hemi),
         sample_reflective(mat, frame, wo),
         sample_refractive(mat, frame, wo, u_lobe, u_phi, u_ry),
         sample_pure_refractive(mat, frame, wo, u_lobe))
 
 
-def pdf_bsdf(mat: Material, frame: ShadeFrame, wo, wi) -> jnp.ndarray:
+def pdf_bsdf(mat: Material, frame: ShadeFrame, wo, wi,
+             uniform_hemi: bool = False) -> jnp.ndarray:
     lobe = select_lobe(mat)
     return _select4(
         lobe,
-        pdf_gltfpbr(mat, frame, wo, wi),
+        pdf_gltfpbr(mat, frame, wo, wi, uniform_hemi),
         pdf_reflective(mat, frame, wo, wi),
         pdf_refractive(mat, frame, wo, wi),
         pdf_pure_refractive(mat, frame, wo, wi))

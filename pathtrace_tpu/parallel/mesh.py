@@ -137,3 +137,96 @@ def render_grad_sharded(scene: Scene, camera: Camera, target: jnp.ndarray,
         check_vma=False,
     )
     return stepped(scene, org, dirs, ray_ids, target_flat)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "lanes"))
+def render_wavefront_sharded(scene: Scene, camera: Camera, spp, base_key,
+                             mesh: Mesh,
+                             cfg: IntegratorConfig = IntegratorConfig(),
+                             lanes: int = 65536, sample_offset=0):
+    """The PRODUCTION engine (wavefront with path regeneration,
+    integrator/wavefront.py) sharded over the mesh: each chip owns a
+    contiguous pixel slice and a private lane pool, regenerating paths
+    from its own slice of the pixel*sample pool. RNG streams are keyed by
+    GLOBAL path id, so the N-chip image equals the 1-chip image up to
+    film float-sum reordering. No communication except the rays-count
+    psum. spp/sample_offset may be traced (one program, chunked launches).
+
+    Returns ((H, W, 3) image, total rays traced across chips).
+    """
+    from pathtrace_tpu.integrator.wavefront import _run_wavefront
+
+    num_pix = camera.width * camera.height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0, (num_pix, n_dev)
+    assert lanes % n_dev == 0, (lanes, n_dev)
+    np_local = num_pix // n_dev
+    lanes_local = lanes // n_dev
+
+    def shard_body(sc):
+        i = jax.lax.axis_index(RAY_AXIS)
+        film, nrays = _run_wavefront(
+            sc, camera, spp, base_key, cfg, lanes_local,
+            sample_offset=sample_offset, pix_offset=i * np_local,
+            num_pix_local=np_local, num_pix_total=num_pix)
+        return film, jax.lax.psum(nrays[None], RAY_AXIS)
+
+    film, rays = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(),),
+        out_specs=(P(RAY_AXIS), P()), check_vma=False)(scene)
+    return film.reshape(camera.height, camera.width, 3), rays[0]
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "mesh"))
+def train_step_replay_sharded(scene: Scene, camera: Camera, target, spp: int,
+                              base_key, mesh: Mesh,
+                              cfg: IntegratorConfig = IntegratorConfig()):
+    """One distributed training step on the PRODUCTION backward: L2 image
+    loss differentiated via the compact path-record replay (diff/replay),
+    sharded over pixel slices with psum'd loss and material grads.
+
+    Per chip: (1) recorded forward over its pixel slice -> image tile,
+    (2) L2 cotangent 2*(img - target), (3) record/replay VJP per sample
+    (O(R) residuals, zero intersection searches in the backward graph).
+    Returns (loss, (tri_mat_grads, sphere_mat_grads), full image).
+    """
+    from pathtrace_tpu.diff.replay import (_camera_rays,
+                                           _material_grads_replay_impl,
+                                           record_paths)
+
+    num_pix = camera.width * camera.height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0, (num_pix, n_dev)
+    np_local = num_pix // n_dev
+    target_flat = target.reshape(num_pix, 3)
+
+    def local_step(sc, tgt):
+        i = jax.lax.axis_index(RAY_AXIS)
+        pix0 = i * np_local
+
+        # plain recorded forward (primal only; the unused tape is DCE'd)
+        # to get the L2 cotangent; the replay VJP then uses it as a fixed
+        # weight (recorded primal == replay primal to ~1e-5)
+        def fwd(accum, s):
+            org, dirs, ray_ids = _camera_rays(sc, camera, s, base_key,
+                                              pix0, np_local)
+            rad, _ = record_paths(sc, org, dirs, ray_ids, base_key, cfg)
+            return accum + rad, None
+
+        accum, _ = jax.lax.scan(fwd, jnp.zeros((np_local, 3), jnp.float32),
+                                jnp.arange(spp))
+        img0 = accum / spp
+        ct = 2.0 * (img0 - tgt)
+        g_tri, g_sph, img = _material_grads_replay_impl(
+            sc, camera, spp, base_key, cfg, ct,
+            pix_offset=pix0, num_pix_local=np_local)
+        loss = jax.lax.psum(jnp.sum((img - tgt) ** 2), RAY_AXIS)
+        grads = jax.lax.psum((g_tri, g_sph), RAY_AXIS)
+        return loss, grads, img
+
+    loss, grads, img = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS)),
+        out_specs=(P(), P(), P(RAY_AXIS)),
+        check_vma=False)(scene, target_flat)
+    return loss, grads, img.reshape(camera.height, camera.width, 3)

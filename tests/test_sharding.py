@@ -57,3 +57,84 @@ def test_grad_sharded_runs_and_improves(setup):
     scene_p2 = dataclasses.replace(scene_p, mat=mat2)
     loss1, _ = render_grad_sharded(scene_p2, cam, target, 4, key, mesh)
     assert float(loss1) < float(loss0)
+
+
+# ---------------------------------------------------------------------------
+# production-engine sharding (VERDICT r2 task 3): the wavefront engine and
+# the record/replay training step run through shard_map with per-chip lane
+# pools and pixel slices
+# ---------------------------------------------------------------------------
+
+from pathtrace_tpu.integrator.wavefront import render_wavefront_stats
+from pathtrace_tpu.parallel import (render_wavefront_sharded,
+                                    train_step_replay_sharded)
+
+
+@pytest.fixture(scope="module")
+def wf_setup():
+    scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
+    cam = procedural.default_camera(16, 16)
+    return scene, cam
+
+
+def test_wavefront_sharded_one_device_exact(wf_setup):
+    """mesh(1) sharded wavefront == plain wavefront bit-for-bit (the
+    slice is the whole image; to_global is the identity)."""
+    scene, cam = wf_setup
+    key = rng.make_key(3)
+    img_ref, rays_ref = render_wavefront_stats(scene, cam, 4, key, lanes=256)
+    img1, rays1 = render_wavefront_sharded(scene, cam, 4, key,
+                                           make_ray_mesh(1), lanes=256)
+    np.testing.assert_array_equal(np.asarray(img_ref), np.asarray(img1))
+    assert float(rays_ref) == float(rays1)
+
+
+def test_wavefront_shard_invariance(wf_setup):
+    """8-chip wavefront (per-chip lane pools + pixel slices) matches the
+    1-chip wavefront: paths are keyed by global id so the estimator is
+    path-identical; film accumulation order differs -> float tolerance."""
+    scene, cam = wf_setup
+    key = rng.make_key(3)
+    img1, rays1 = render_wavefront_sharded(scene, cam, 4, key,
+                                           make_ray_mesh(1), lanes=256)
+    img8, rays8 = render_wavefront_sharded(scene, cam, 4, key,
+                                           make_ray_mesh(8), lanes=256)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
+                               rtol=2e-5, atol=2e-5)
+    assert float(rays1) == float(rays8)  # exact: counts are integers
+
+
+def test_train_step_replay_sharded(wf_setup):
+    """The sharded record/replay training step: loss + psum'd grads are
+    shard-invariant vs the 1-device mesh, finite, and an SGD step on
+    albedo decreases the loss."""
+    import dataclasses
+    scene, cam = wf_setup
+    key = rng.make_key(5)
+    target = render_wavefront_stats(scene, cam, 2, rng.make_key(99),
+                                    lanes=256)[0]
+
+    mat = dataclasses.replace(scene.mat, albedo=scene.mat.albedo * 0.6)
+    scene_p = dataclasses.replace(scene, mat=mat)
+
+    loss1, grads1, img1 = train_step_replay_sharded(
+        scene_p, cam, target, 2, key, make_ray_mesh(1))
+    loss8, grads8, img8 = train_step_replay_sharded(
+        scene_p, cam, target, 2, key, make_ray_mesh(8))
+    assert np.isfinite(float(loss1))
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    # per-path contributions are identical; tolerance covers float-sum
+    # reassociation between the two differently-compiled programs
+    np.testing.assert_allclose(np.asarray(grads1[0].albedo),
+                               np.asarray(grads8[0].albedo),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
+                               rtol=1e-4, atol=1e-4)
+
+    lr = 1e-4
+    g_tri = grads8[0]
+    mat2 = dataclasses.replace(mat, albedo=mat.albedo - lr * g_tri.albedo)
+    loss_after, _, _ = train_step_replay_sharded(
+        dataclasses.replace(scene_p, mat=mat2), cam, target, 2, key,
+        make_ray_mesh(8))
+    assert float(loss_after) < float(loss8)
