@@ -59,27 +59,41 @@ def main():
     # device runtime watchdog).
     from pathtrace_tpu.integrator.wavefront import render_wavefront_chunked
 
-    engine = os.environ.get("BENCH_ENGINE", "wavefront")
+    # default engine: the fused Pallas bounce kernel for single-tile
+    # scenes (cornell/glass), the XLA wavefront + binned traversal for
+    # large meshes (blob82k exceeds the kernel's T_pad budget). CPU smoke
+    # runs fall back to the wavefront (Pallas-TPU kernels don't lower on
+    # the CPU backend outside interpret mode).
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    default_engine = ("wavefront" if (which == "mesh" or not on_tpu)
+                      else "fused")
+    engine = os.environ.get("BENCH_ENGINE", default_engine)
     if engine == "fused":
         # fully fused Pallas bounce kernel (small scenes, T_pad <= 512)
         from pathtrace_tpu.ops.pallas.bounce_kernel import (
             build_fused_pack, render_wavefront_fused)
         block_r = int(os.environ.get("BENCH_BLOCK_R", 2048))
+        g_inner = int(os.environ.get("BENCH_GINNER", 8))
         pack = build_fused_pack(scene)
         run = lambda n, c: render_wavefront_fused(
             scene, camera, n, key, cfg, lanes, chunk_spp=c,
-            block_r=block_r, pack=pack)
+            block_r=block_r, pack=pack, g_inner=g_inner)
     else:
         run = lambda n, c: render_wavefront_chunked(
             scene, camera, n, key, cfg, lanes, chunk_spp=c)
 
+    # fused: one launch for the whole run when it stays under the
+    # device watchdog (~1.3 s at 1024 spp Cornell); wavefront keeps
+    # 64-spp chunks (its per-iteration cost is ~4x higher)
+    default_chunk = min(spp, 1024) if engine == "fused" else 64
+    chunk = int(os.environ.get("BENCH_CHUNK", default_chunk))
     # warmup MUST go through the same jitted chunk program as the timed
     # run (a different wrapper would hide a second multi-minute remote
     # compile inside the timed region)
     img, _ = run(4, 4)
     img.block_until_ready()
     t0 = time.perf_counter()
-    img, nrays = run(spp, 64)
+    img, nrays = run(spp, chunk)
     img.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -30,11 +30,15 @@ from pathtrace_tpu.utils.pytree import replace
 
 def render_with_params(scene: Scene, tri_mat: Material, sph_mat: Material,
                        camera: Camera, spp: int, key,
-                       cfg: IntegratorConfig = IntegratorConfig()):
-    """Render with the material pytrees as explicit (differentiable) args."""
+                       cfg: IntegratorConfig = IntegratorConfig(),
+                       sample_mat_fn=None):
+    """Render with the material pytrees as explicit (differentiable) args.
+
+    sample_mat_fn (static): optional sampling-side material override, see
+    make_bounce_fn / diff.fd.make_frozen_sampler."""
     s = replace(scene, mat=tri_mat,
                 spheres=replace(scene.spheres, mat=sph_mat))
-    return render(s, camera, spp, key, cfg)
+    return render(s, camera, spp, key, cfg, sample_mat_fn=sample_mat_fn)
 
 
 def material_grads(scene: Scene, camera: Camera, spp: int, key,

@@ -133,9 +133,17 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     # reassociation across differently-compiled programs (the EPS-ball
     # margin is ~1e-5 at scene scale, inside cross-program noise, which
     # made renders/gradients nondeterministic across engines).
+    # t_min = EPS, not the reference's 0 (GetLightColor passes tMin=0):
+    # with t_min 0 a shadow ray leaving a SPHERE re-hits its own surface
+    # at t ~ +-1e-7 depending on rounding, and that borderline accept
+    # flipped between differently-compiled programs (measured: the
+    # grad-program primal differed from the plain render by 1.6% on the
+    # sphere scene, and reverse-mode/forward-mode gradients disagreed by
+    # the flipped lanes' contributions). Triangles are immune (backface
+    # cull); real occluders within EPS of the surface are measure-zero.
     s_hit, s_prim, s_sph = shadow_fn(
         jax.lax.stop_gradient(hit.p), jax.lax.stop_gradient(sdir),
-        jnp.zeros_like(dist), jax.lax.stop_gradient(dist) + 1.0)
+        jnp.full_like(dist, EPS), jax.lax.stop_gradient(dist) + 1.0)
     reached = s_hit & ~s_sph & (s_prim == light_tri)
     # The sampled light's own emittance (differentiable gather).
     l_emit = math3.gather_rows(scene.mat.emittance, light_tri)
@@ -153,13 +161,22 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
 
 
 def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
-                   shadow_fn=None):
+                   shadow_fn=None, sample_mat_fn=None):
     """Core one-bounce transition shared by the lockstep megakernel and the
     regenerating wavefront pipeline.
 
     Takes per-lane state + per-lane path-local iteration counters; the same
     (ray_id, lane_iter) always draws the same randomness, so both
     integrators realize the identical estimator per path.
+
+    sample_mat_fn: optional HitRecord -> Material override used ONLY for
+    the sampling-side decisions (sampled direction, pdf denominator,
+    transparency lobe family). The FD oracle passes a gather of the
+    UNPERTURBED materials here, freezing the path realization so central
+    differences measure exactly the detached-sampling derivative that
+    production autodiff (cfg.detach_sampling) computes - FD of the live
+    sampler instead picks up O(1/h) jump terms at discrete sampling
+    flips. None (production) = hit.mat, identical primal.
     """
     if shadow_fn is None:
         sf = default_shadow_raycast(scene)
@@ -209,11 +226,12 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
         u_phi = draws[:, rng.COL_PHI]
         u_ry = draws[:, rng.COL_RY]
         uni = cfg.hemisphere == "uniform"
-        wi = bsdf.sample_bsdf(hit.mat, frame, wo, u_lobe, u_phi, u_ry,
+        smat = hit.mat if sample_mat_fn is None else sample_mat_fn(hit)
+        wi = bsdf.sample_bsdf(smat, frame, wo, u_lobe, u_phi, u_ry,
                               uniform_hemi=uni)
         wi = _maybe_detach(wi, cfg)
         w1 = bsdf.eval_bsdfcos(hit.mat, frame, wo, wi)
-        w2 = jnp.maximum(bsdf.pdf_bsdf(hit.mat, frame, wo, wi,
+        w2 = jnp.maximum(bsdf.pdf_bsdf(smat, frame, wo, wi,
                                        uniform_hemi=uni), cfg.pdf_clamp)
         w2 = _maybe_detach(w2, cfg)
         current_weight = w1 / w2[:, None]
@@ -224,7 +242,8 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
 
         # --- sticky refraction flag: reassigned only on transparent hits
         # (CudaUtil.cuh:307); opaque hits keep the previous value.
-        transparent = hit.mat.opacity < (1.0 - EPS)
+        # Sampling-side discrete decision -> smat (frozen under FD).
+        transparent = smat.opacity < (1.0 - EPS)
         new_refracted = dot(frame.normal, wo) * dot(frame.normal, wi) <= 0.0
         refracted = jnp.where(cont & transparent, new_refracted, refracted)
 
@@ -265,10 +284,11 @@ def make_bounce_fn(scene: Scene, raycast_fn, cfg: IntegratorConfig, base_key,
 
 
 def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
-                     base_key, ray_ids):
+                     base_key, ray_ids, sample_mat_fn=None):
     """Scan body for the lockstep megakernel: all lanes share the global
     iteration counter (every path starts at iteration 0 together)."""
-    bounce = make_bounce_fn(scene, raycast_fn, cfg, base_key)
+    bounce = make_bounce_fn(scene, raycast_fn, cfg, base_key,
+                            sample_mat_fn=sample_mat_fn)
 
     def step(state, it):
         (org, dirn, radiance, weight, depth, refract_cnt, refracted,
@@ -285,7 +305,7 @@ def make_bounce_step(scene: Scene, raycast_fn, cfg: IntegratorConfig,
 def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
                       ray_ids: jnp.ndarray, base_key,
                       cfg: IntegratorConfig = IntegratorConfig(),
-                      raycast_fn=None):
+                      raycast_fn=None, sample_mat_fn=None):
     """Estimate radiance for a batch of camera rays.
 
     Returns (radiance (R, 3), rays_traced scalar int32). raycast_fn(scene,
@@ -309,7 +329,8 @@ def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
         jnp.zeros((), jnp.float32),       # rays traced
     )
     step = make_bounce_step(scene, lambda o, d, tn, tx: raycast_fn(o, d, tn, tx),
-                            cfg, base_key, ray_ids)
+                            cfg, base_key, ray_ids,
+                            sample_mat_fn=sample_mat_fn)
     if cfg.remat:
         step = jax.checkpoint(step)
     state, _ = jax.lax.scan(step, state, jnp.arange(cfg.max_iters))
@@ -319,7 +340,7 @@ def trace_paths_stats(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
 def trace_paths(scene: Scene, org: jnp.ndarray, dirn: jnp.ndarray,
                 ray_ids: jnp.ndarray, base_key,
                 cfg: IntegratorConfig = IntegratorConfig(),
-                raycast_fn=None) -> jnp.ndarray:
+                raycast_fn=None, sample_mat_fn=None) -> jnp.ndarray:
     """Radiance only; see trace_paths_stats."""
     return trace_paths_stats(scene, org, dirn, ray_ids, base_key, cfg,
-                             raycast_fn)[0]
+                             raycast_fn, sample_mat_fn)[0]

@@ -31,7 +31,7 @@ _JITTER_TAG = 0x7F000000
 
 def render_sample(scene: Scene, camera: Camera, sample_idx, base_key,
                   cfg: IntegratorConfig = IntegratorConfig(),
-                  raycast_fn=None) -> jnp.ndarray:
+                  raycast_fn=None, sample_mat_fn=None) -> jnp.ndarray:
     """Trace one sample per pixel; returns (W*H, 3) radiance."""
     px, py = camera.pixel_grid()
     num_pix = px.shape[0]
@@ -43,13 +43,15 @@ def render_sample(scene: Scene, camera: Camera, sample_idx, base_key,
     ju = rng.pixel_jitter(base_key, ray_ids)
     dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
     org = jnp.broadcast_to(camera.pos, dirs.shape)
-    return trace_paths(scene, org, dirs, ray_ids, base_key, cfg, raycast_fn)
+    return trace_paths(scene, org, dirs, ray_ids, base_key, cfg, raycast_fn,
+                       sample_mat_fn)
 
 
-@partial(jax.jit, static_argnames=("spp", "cfg", "raycast_fn"))
+@partial(jax.jit, static_argnames=("spp", "cfg", "raycast_fn",
+                                   "sample_mat_fn"))
 def render(scene: Scene, camera: Camera, spp: int, base_key,
            cfg: IntegratorConfig = IntegratorConfig(),
-           raycast_fn=None) -> jnp.ndarray:
+           raycast_fn=None, sample_mat_fn=None) -> jnp.ndarray:
     """Mean radiance over spp samples; returns (H, W, 3) linear float32.
 
     Equivalent to the reference's inner sample loop + image[i] += mean
@@ -58,7 +60,7 @@ def render(scene: Scene, camera: Camera, spp: int, base_key,
     """
     def body(accum, s):
         accum = accum + render_sample(scene, camera, s, base_key, cfg,
-                                      raycast_fn)
+                                      raycast_fn, sample_mat_fn)
         return accum, None
 
     num_pix = camera.width * camera.height

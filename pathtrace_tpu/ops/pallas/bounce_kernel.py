@@ -10,12 +10,20 @@ lobe BSDF, Russian roulette, film commit, and path regeneration - all on
 VMEM-resident data. HBM traffic per iteration drops to the packed state
 rows (~2 x 21 rows x R x 4B).
 
-Layout: everything is LANE-MAJOR - triangles on sublanes, rays on lanes.
-Scalars are (1, B) rows, 3-vectors (3, B) blocks, and the Moller-Trumbore
-products (4*T_pad, B). Reductions over triangles run along the (cheap)
-sublane axis; a standalone microbenchmark of this raycast core measured
-~80 us per 65536-ray x 128-tri closest-hit vs ~450 us for the XLA matmul
-path and ~370 us for a rays-on-sublanes Pallas kernel.
+Layout: the SEARCH side is LANE-MAJOR - triangles on sublanes, rays on
+lanes: Moller-Trumbore products (4*T_pad, B), per-triangle reductions
+along the sublane axis (a standalone microbenchmark measured this raycast
+core at ~80 us per 65536-ray x 128-tri closest-hit vs ~450 us for the XLA
+matmul path and ~370 us for a rays-on-sublanes kernel). Everything
+ELSEWISE is PANELED: per-lane scalars are (1, 8, B/8) and 3-vectors
+(3, 8, B/8), filling all 8 sublanes of each (8, 128) f32 VPU tile - a
+(1, B) row occupies 1/8 of its tiles, so the flat layout paid ~8x on
+every elementwise op (measured: 699 us/iter full kernel, 193 us with all
+sections ablated, at 65536 lanes; VPU row-ops dominated both). The two
+layouts meet at jnp.reshape boundaries: state rows enter paneled, get
+flattened only to build the (48, B) feature matrix for the search
+matmuls, and search results (t/arg/hit rows) plus fetched attributes are
+re-paneled for shading.
 
 Precision: the winner search runs on bf16 MXU products with an
 approximate-reciprocal ordering key (selection-only); t/u/v are then
@@ -92,7 +100,13 @@ def build_fused_pack(scene) -> FusedPack:
     """Host-side pack build (numpy; call once per scene, ride with jit)."""
     assert scene.mt is not None, "call Scene.with_mt() first"
     mt = scene.mt
-    t_pad = np.asarray(mt.det).shape[1]
+    t_pad_mt = np.asarray(mt.det).shape[1]
+    # re-pad the triangle axis to a multiple of 8 (the f32 sublane tile)
+    # instead of with_mt's 128: for the 38-tri Cornell demo this halves
+    # the search matmul's M tiles (4*128=512 -> 4*40=160 rows) and cuts
+    # the per-triangle mask/reduction work 3x; padded slots keep det=0 so
+    # they never pass the accept test. The MXU pads K to 128 either way.
+    t_pad = min(t_pad_mt, max(8, -(-scene.num_tris // 8) * 8))
     assert t_pad <= MAX_TRIS, (t_pad, MAX_TRIS)
     assert scene.num_spheres <= MAX_UNROLL
     assert scene.num_lights <= MAX_UNROLL
@@ -102,8 +116,8 @@ def build_fused_pack(scene) -> FusedPack:
     # were ~1% off - unable to order the light 0.3%-of-t below the
     # ceiling, which silently killed NEE and emissive hits).
     m16 = np.concatenate(
-        [np.asarray(mt.det).T, np.asarray(mt.t_num).T,
-         np.asarray(mt.u_num).T, np.asarray(mt.v_num).T],
+        [np.asarray(mt.det).T[:t_pad], np.asarray(mt.t_num).T[:t_pad],
+         np.asarray(mt.u_num).T[:t_pad], np.asarray(mt.v_num).T[:t_pad]],
         axis=0).astype(np.float32)
     import ml_dtypes as _mld
     m_hi = m16.astype(_mld.bfloat16)
@@ -349,318 +363,408 @@ def _finite(x):
 
 def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
                    m_ref, ah_ref, am_ref, al_ref, sf_ref, si_ref,
-                   sf_out, si_out, rays_out, *,
+                   sf_out, si_out, *,
                    cfg, t_pad, num_spheres, num_lights,
-                   lanes_total, num_pix, width, height, k_pix,
-                   ablate=frozenset()):
+                   lanes_total, num_pix, width, height, k_pix, block_l,
+                   g_inner=1, ablate=frozenset()):
     """ablate: profiling-only section kill switches ("raycast", "fetch",
     "nee", "bsdf", "spheres", "rng", "regen") - each replaces a section
     with cheap placeholder values so its cost can be measured by
-    difference on hardware (tools/fused_microbench.py). Never set in
-    production paths; results are meaningless images."""
-    org = sf_ref[0:3]
-    dirn = sf_ref[3:6]
-    radiance = sf_ref[6:9]
-    weight = sf_ref[9:12]
-    film = sf_ref[12:12 + 3 * k_pix]
-    depth = si_ref[0:1]
-    refract_cnt = si_ref[1:2]
-    refracted = si_ref[2:3] != 0
-    alive = si_ref[3:4] != 0
-    ray_ids = si_ref[4:5]
-    lane_iter = si_ref[5:6]
+    difference on hardware (tools/fused_ablate.py). Never set in
+    production paths; results are meaningless images.
+
+    State refs are PANELED (rows, 8, block_l); the searches run flat
+    (rows, 8*block_l) - see the module docstring's layout note.
+
+    g_inner: bounce iterations per kernel invocation. Every lane is
+    independent, so iterating the whole body in-kernel is semantics-
+    preserving; it amortizes the measured ~143 us fixed per-pallas_call
+    cost AND keeps state in VMEM across bounces (no carry round-trip).
+    The per-lane ray counter lives in sf's last row (accumulated
+    in-kernel; the driver reduces it once per launch)."""
+    b_flat = 8 * block_l
+
+    # Mosaic rejects shape casts of single rows carrying reduction/
+    # replicated layouts (tools/mosaic_probe*.py mapped the support
+    # surface), but a concatenate materializes a standard layout after
+    # which the multi-row (r, 8L) <-> (r, 8, L) reshape compiles. So:
+    # cross each search boundary with everything PACKED into one concat
+    # (cheaper anyway - one relayout pass), and let single rows ride a
+    # self-concat pair.
+    def unpan(x):
+        """(r, 8, L) paneled -> (r, 8L) flat lanes (search layout)."""
+        if x.dtype == jnp.bool_:
+            return unpan(x.astype(jnp.int32)) != 0
+        if x.shape[0] == 1:
+            return jnp.concatenate([x, x], axis=0).reshape(2, b_flat)[0:1]
+        return x.reshape(x.shape[0], b_flat)
+
+    def pan(x):
+        """(r, 8L) flat -> (r, 8, L) paneled (elementwise layout)."""
+        if x.dtype == jnp.bool_:
+            return pan(x.astype(jnp.int32)) != 0
+        if x.shape[0] == 1:
+            return jnp.concatenate([x, x], axis=0).reshape(2, 8,
+                                                           block_l)[0:1]
+        return x.reshape(x.shape[0], 8, block_l)
+
     k0 = key_ref[0, 0]
     k1 = key_ref[0, 1]
     base_path = misc_ref[0, 0]
     total_paths = misc_ref[0, 1]
 
-    zeros1 = jnp.zeros_like(depth).astype(jnp.float32)
-    if "rng" in ablate:
-        u = [zeros1 + 0.5] * 8
-    else:
-        u = _draws8(ray_ids, lane_iter, k0, k1)
+    carry0 = (sf_ref[0:3],                      # org
+              sf_ref[3:6],                      # dirn
+              sf_ref[6:9],                      # radiance
+              sf_ref[9:12],                     # weight
+              sf_ref[12:12 + 3 * k_pix],        # film
+              sf_ref[12 + 3 * k_pix:13 + 3 * k_pix],  # rays accumulator
+              si_ref[0:1],                      # depth
+              si_ref[1:2],                      # refract_cnt
+              si_ref[2:3],                      # refracted (i32)
+              si_ref[3:4],                      # alive (i32)
+              si_ref[4:5],                      # ray_ids
+              si_ref[5:6])                      # lane_iter
 
-    tmin = zeros1
-    tmax = zeros1 + BIG_T
+    def one_bounce(carry):
+        (org, dirn, radiance, weight, film, rays_acc, depth, refract_cnt,
+         refracted_i, alive_i, ray_ids, lane_iter) = carry
+        refracted = refracted_i != 0
+        alive = alive_i != 0
 
-    # ---- primary raycast (RayCast, CudaUtil.cuh:93-148)
-    if "raycast" in ablate:
-        tri_hit = zeros1 < 1.0
-        t_approx = zeros1 + 10.0
-        arg = jnp.remainder(ray_ids, t_pad)
-    else:
-        tri_hit, t_approx, arg = _closest_tri(m_ref, org, dirn, tmin, tmax,
-                                              t_pad)
-    if "fetch" in ablate:
-        attrs = (jnp.remainder(arg, 7).astype(jnp.float32) * 1e-3
-                 * jnp.ones((ATTR_ROWS, 1), jnp.float32))
-    else:
-        attrs = _fetch_attrs(arg, ah_ref, am_ref, al_ref, t_pad)
-    v0 = attrs[_A_V0:_A_V0 + 3]
-    e1 = attrs[_A_E1:_A_E1 + 3]
-    e2 = attrs[_A_E2:_A_E2 + 3]
-    if "mtexact" in ablate:
-        t_x, u_x, v_x = t_approx, zeros1 + 0.3, zeros1 + 0.3
-    else:
-        t_x, u_x, v_x, ok_x = _mt_exact(v0, e1, e2, org, dirn, tmin, tmax)
-        # exact validity gates the slack-band accepts of the search
-        tri_hit = tri_hit & ok_x
-    tri_t = jnp.where(tri_hit, t_x, BIG)
-
-    # sphere scan against the running closest t (finalize_hit)
-    if num_spheres:
-        cur_max = jnp.where(tri_hit, tri_t, tmax)
-        sph_hit, sph_t, best_s = _closest_sphere(
-            sph_ref, num_spheres, org, dirn, tmin, cur_max)
-        use_sphere = sph_hit & (~tri_hit | (sph_t < tri_t))
-    else:
-        sph_t = jnp.zeros_like(tri_t) + BIG
-        best_s = jnp.zeros_like(arg)
-        use_sphere = jnp.zeros_like(tri_hit) & False
-    hit = tri_hit | use_sphere
-    t_final = jnp.where(use_sphere, sph_t, tri_t)
-    hit_p = org + jnp.where(hit, t_final, 0.0) * dirn
-
-    # ---- shading attributes (swapped interpolation weights,
-    # CudaPrimitive.cuh:141-146)
-    w0 = 1.0 - u_x - v_x
-    n_out = normalize3(w0 * attrs[_A_N0:_A_N0 + 3]
-                       + v_x * attrs[_A_N1:_A_N1 + 3]
-                       + u_x * attrs[_A_N2:_A_N2 + 3])
-    tangent = normalize3(w0 * attrs[_A_T0:_A_T0 + 3]
-                         + v_x * attrs[_A_T1:_A_T1 + 3]
-                         + u_x * attrs[_A_T2:_A_T2 + 3])
-    bitang = normalize3(w0 * attrs[_A_B0:_A_B0 + 3]
-                        + v_x * attrs[_A_B1:_A_B1 + 3]
-                        + u_x * attrs[_A_B2:_A_B2 + 3])
-    front = dot3(dirn, n_out) < 0.0
-    normal = jnp.where(front, n_out, -n_out)
-    mat = dict(
-        emittance=attrs[_A_EMIT:_A_EMIT + 3],
-        albedo=attrs[_A_ALB:_A_ALB + 3],
-        specular=attrs[_A_SPEC:_A_SPEC + 3],
-        opacity=attrs[_A_OPAC:_A_OPAC + 1],
-        roughness=attrs[_A_ROUGH:_A_ROUGH + 1],
-        metallic=attrs[_A_METAL:_A_METAL + 1],
-    )
-    if num_spheres:
-        center = jnp.concatenate(
-            [_sphere_select(sph_ref, num_spheres, best_s, j, zeros1)
-             for j in range(3)], axis=0)
-        radius = _sphere_select(sph_ref, num_spheres, best_s, 3, zeros1)
-        outward = (hit_p - center) / jnp.maximum(radius, TINY)
-        s_front = dot3(dirn, outward) < 0.0
-        s_normal = jnp.where(s_front, outward, -outward)
-        up = jnp.concatenate([zeros1, zeros1 + 1.0, zeros1], axis=0)
-        s_tan = normalize3(cross3(up, s_normal))
-        s_bit = cross3(s_normal, s_tan)
-        normal = jnp.where(use_sphere, s_normal, normal)
-        tangent = jnp.where(use_sphere, s_tan, tangent)
-        bitang = jnp.where(use_sphere, s_bit, bitang)
-        # boolean select spelled logically: Mosaic cannot lower
-        # select->i1 (arith.trunci i8->i1 is unsupported)
-        front = (use_sphere & s_front) | (~use_sphere & front)
-        sm = [jnp.concatenate(
-            [_sphere_select(sph_ref, num_spheres, best_s, j0 + j, zeros1)
-             for j in range(3)], axis=0) for j0 in (4, 7, 10)]
-        mat = dict(
-            emittance=jnp.where(use_sphere, sm[0], mat["emittance"]),
-            albedo=jnp.where(use_sphere, sm[1], mat["albedo"]),
-            specular=jnp.where(use_sphere, sm[2], mat["specular"]),
-            opacity=jnp.where(use_sphere, _sphere_select(
-                sph_ref, num_spheres, best_s, 13, zeros1), mat["opacity"]),
-            roughness=jnp.where(use_sphere, _sphere_select(
-                sph_ref, num_spheres, best_s, 14, zeros1), mat["roughness"]),
-            metallic=jnp.where(use_sphere, _sphere_select(
-                sph_ref, num_spheres, best_s, 15, zeros1), mat["metallic"]),
-        )
-    frame = dict(normal=normal, tangent=tangent, bitangent=bitang,
-                 front=front)
-    wo = -dirn
-
-    live_hit = alive & hit
-    live_miss = alive & ~hit
-
-    # ---- miss: += weight * miss gray, path ends (CudaUtil.cuh:375-379)
-    miss_rgb = jnp.concatenate(
-        [zeros1 + float(c) for c in cfg.miss_radiance], axis=0)
-    radiance = radiance + jnp.where(live_miss, weight * miss_rgb, 0.0)
-
-    # ---- emissive hit every bounce, no MIS (CudaUtil.cuh:220-224)
-    emissive = sqlen3(mat["emittance"]) > EPS
-    radiance = radiance + jnp.where(live_hit & emissive,
-                                    weight * mat["emittance"], 0.0)
-
-    # ---- NEE (CudaUtil.cuh:234-272)
-    shadow_count = jnp.zeros_like(zeros1)
-    if cfg.nee and num_lights > 0 and "nee" not in ablate:
-        slot = jnp.minimum((u[0] * num_lights).astype(jnp.int32),
-                           num_lights - 1)
-        lv0 = _light_vec(light_ref, num_lights, slot, 0, zeros1)
-        lv1 = _light_vec(light_ref, num_lights, slot, 3, zeros1)
-        lv2 = _light_vec(light_ref, num_lights, slot, 6, zeros1)
-        area = _light_select(light_ref, num_lights, slot, 9, zeros1)
-        l_normal = _light_vec(light_ref, num_lights, slot, 10, zeros1)
-        r1 = safe_sqrt(u[1])
-        r2 = u[2]
-        point = (1.0 - r1) * lv0 + r1 * (1.0 - r2) * lv1 + r1 * r2 * lv2
-        to_light = point - hit_p
-        dist2 = sqlen3(to_light)
-        dist = jnp.sqrt(jnp.maximum(dist2, TINY))
-        sdir = normalize3(to_light)
-
-        # shadow ray (GetLightColor, CudaUtil.cuh:150-166): t in [0, dist+1].
-        # Identity acceptance (winner == sampled light tri; see
-        # nee_contribution for the deviation note) - the split-precision
-        # search orders the light correctly against near-coincident
-        # geometry, so no exact recompute or attribute fetch is needed.
-        s_tmax = dist + 1.0
-        s_hit_tri, s_t_approx, s_arg = _closest_tri(
-            m_ref, hit_p, sdir, zeros1, s_tmax, t_pad)
-        if num_spheres:
-            s_cur = jnp.where(s_hit_tri, s_t_approx, s_tmax)
-            so_hit, so_t, _ = _closest_sphere(
-                sph_ref, num_spheres, hit_p, sdir, zeros1, s_cur)
-            s_use_sph = so_hit & (~s_hit_tri | (so_t < s_t_approx))
+        zeros1 = jnp.zeros_like(depth).astype(jnp.float32)
+        if "rng" in ablate:
+            u = [zeros1 + 0.5] * 8
         else:
-            s_use_sph = jnp.zeros_like(s_hit_tri) & False
-        light_id = _light_select(light_ref, num_lights, slot, 13, zeros1)
-        reached = (s_hit_tri & ~s_use_sph
-                   & (s_arg == light_id.astype(jnp.int32)))
-        l_emit = _light_vec(light_ref, num_lights, slot, 14, zeros1)
-        light_color = jnp.where(reached, l_emit, 0.0)
+            u = _draws8(ray_ids, lane_iter, k0, k1)
 
-        cos_a = jnp.maximum(dot3(l_normal, normalize3(hit_p - point)), 0.0)
-        pdf_light = bsdf_t.safe_div(jnp.ones_like(area), area) / num_lights
-        brdfcos = bsdf_t.eval_bsdfcos(mat, frame, wo, sdir)
-        contrib = (brdfcos * light_color * cos_a
-                   / jnp.maximum(dist2 * pdf_light, TINY))
-        finite = jnp.min(jnp.where(_finite(contrib), 1.0, 0.0), axis=0,
-                         keepdims=True) > 0.5
-        radiance = radiance + jnp.where(live_hit & finite, weight * contrib,
-                                        0.0)
-        shadow_count = jnp.where(live_hit, 1.0, 0.0)
+        tmin = zeros1
+        tmax = zeros1 + BIG_T
 
-    # ---- BSDF sampling (CudaUtil.cuh:276-338); wavefront is primal-only,
-    # no detach needed (stop_gradient has no effect on the primal anyway)
-    if "bsdf" in ablate:
-        wi = frame["normal"]
-        current_weight = mat["albedo"]
+        # ---- primary raycast (RayCast, CudaUtil.cuh:93-148) - flat layout
+        if "raycast" in ablate:
+            tri_hit = zeros1 < 1.0
+            t_approx = zeros1 + 10.0
+            arg_flat = unpan(jnp.remainder(ray_ids, t_pad))
+            if "fetch" in ablate:
+                attrs = (jnp.remainder(pan(arg_flat), 7).astype(jnp.float32)
+                         * 1e-3 * jnp.ones((ATTR_ROWS, 1, 1), jnp.float32))
+            else:
+                attrs = pan(_fetch_attrs(arg_flat, ah_ref, am_ref, al_ref,
+                                         t_pad))
+        else:
+            pk = unpan(jnp.concatenate([org, dirn, tmin, tmax], axis=0))
+            tri_hit_f, t_approx_f, arg_flat = _closest_tri(
+                m_ref, pk[0:3], pk[3:6], pk[6:7], pk[7:8], t_pad)
+            if "fetch" in ablate:
+                fpk = pan(jnp.concatenate([t_approx_f] * 2, axis=0))
+                attrs = (jnp.remainder(pan(arg_flat), 7).astype(jnp.float32)
+                         * 1e-3 * jnp.ones((ATTR_ROWS, 1, 1), jnp.float32))
+            else:
+                attrs_f = _fetch_attrs(arg_flat, ah_ref, am_ref, al_ref, t_pad)
+                fpk = pan(jnp.concatenate([t_approx_f, attrs_f], axis=0))
+                attrs = fpk[1:1 + ATTR_ROWS]
+            t_approx = fpk[0:1]
+            ipk = pan(jnp.concatenate([tri_hit_f.astype(jnp.int32), arg_flat],
+                                      axis=0))
+            tri_hit = ipk[0:1] != 0
+        v0 = attrs[_A_V0:_A_V0 + 3]
+        e1 = attrs[_A_E1:_A_E1 + 3]
+        e2 = attrs[_A_E2:_A_E2 + 3]
+        if "mtexact" in ablate:
+            t_x, u_x, v_x = t_approx, zeros1 + 0.3, zeros1 + 0.3
+        else:
+            t_x, u_x, v_x, ok_x = _mt_exact(v0, e1, e2, org, dirn, tmin, tmax)
+            # exact validity gates the slack-band accepts of the search
+            tri_hit = tri_hit & ok_x
+        tri_t = jnp.where(tri_hit, t_x, BIG)
+
+        # sphere scan against the running closest t (finalize_hit)
+        if num_spheres:
+            cur_max = jnp.where(tri_hit, tri_t, tmax)
+            sph_hit, sph_t, best_s = _closest_sphere(
+                sph_ref, num_spheres, org, dirn, tmin, cur_max)
+            use_sphere = sph_hit & (~tri_hit | (sph_t < tri_t))
+        else:
+            sph_t = jnp.zeros_like(tri_t) + BIG
+            best_s = jnp.zeros_like(depth)
+            use_sphere = jnp.zeros_like(tri_hit) & False
+        hit = tri_hit | use_sphere
+        t_final = jnp.where(use_sphere, sph_t, tri_t)
+        hit_p = org + jnp.where(hit, t_final, 0.0) * dirn
+
+        # ---- shading attributes (swapped interpolation weights,
+        # CudaPrimitive.cuh:141-146)
+        w0 = 1.0 - u_x - v_x
+        n_out = normalize3(w0 * attrs[_A_N0:_A_N0 + 3]
+                           + v_x * attrs[_A_N1:_A_N1 + 3]
+                           + u_x * attrs[_A_N2:_A_N2 + 3])
+        tangent = normalize3(w0 * attrs[_A_T0:_A_T0 + 3]
+                             + v_x * attrs[_A_T1:_A_T1 + 3]
+                             + u_x * attrs[_A_T2:_A_T2 + 3])
+        bitang = normalize3(w0 * attrs[_A_B0:_A_B0 + 3]
+                            + v_x * attrs[_A_B1:_A_B1 + 3]
+                            + u_x * attrs[_A_B2:_A_B2 + 3])
+        front = dot3(dirn, n_out) < 0.0
+        normal = jnp.where(front, n_out, -n_out)
+        mat = dict(
+            emittance=attrs[_A_EMIT:_A_EMIT + 3],
+            albedo=attrs[_A_ALB:_A_ALB + 3],
+            specular=attrs[_A_SPEC:_A_SPEC + 3],
+            opacity=attrs[_A_OPAC:_A_OPAC + 1],
+            roughness=attrs[_A_ROUGH:_A_ROUGH + 1],
+            metallic=attrs[_A_METAL:_A_METAL + 1],
+        )
+        if num_spheres:
+            center = jnp.concatenate(
+                [_sphere_select(sph_ref, num_spheres, best_s, j, zeros1)
+                 for j in range(3)], axis=0)
+            radius = _sphere_select(sph_ref, num_spheres, best_s, 3, zeros1)
+            outward = (hit_p - center) / jnp.maximum(radius, TINY)
+            s_front = dot3(dirn, outward) < 0.0
+            s_normal = jnp.where(s_front, outward, -outward)
+            up = jnp.concatenate([zeros1, zeros1 + 1.0, zeros1], axis=0)
+            s_tan = normalize3(cross3(up, s_normal))
+            s_bit = cross3(s_normal, s_tan)
+            normal = jnp.where(use_sphere, s_normal, normal)
+            tangent = jnp.where(use_sphere, s_tan, tangent)
+            bitang = jnp.where(use_sphere, s_bit, bitang)
+            # boolean select spelled logically: Mosaic cannot lower
+            # select->i1 (arith.trunci i8->i1 is unsupported)
+            front = (use_sphere & s_front) | (~use_sphere & front)
+            sm = [jnp.concatenate(
+                [_sphere_select(sph_ref, num_spheres, best_s, j0 + j, zeros1)
+                 for j in range(3)], axis=0) for j0 in (4, 7, 10)]
+            mat = dict(
+                emittance=jnp.where(use_sphere, sm[0], mat["emittance"]),
+                albedo=jnp.where(use_sphere, sm[1], mat["albedo"]),
+                specular=jnp.where(use_sphere, sm[2], mat["specular"]),
+                opacity=jnp.where(use_sphere, _sphere_select(
+                    sph_ref, num_spheres, best_s, 13, zeros1), mat["opacity"]),
+                roughness=jnp.where(use_sphere, _sphere_select(
+                    sph_ref, num_spheres, best_s, 14, zeros1), mat["roughness"]),
+                metallic=jnp.where(use_sphere, _sphere_select(
+                    sph_ref, num_spheres, best_s, 15, zeros1), mat["metallic"]),
+            )
+        frame = dict(normal=normal, tangent=tangent, bitangent=bitang,
+                     front=front)
+        wo = -dirn
+
+        live_hit = alive & hit
+        live_miss = alive & ~hit
+
+        # ---- miss: += weight * miss gray, path ends (CudaUtil.cuh:375-379)
+        miss_rgb = jnp.concatenate(
+            [zeros1 + float(c) for c in cfg.miss_radiance], axis=0)
+        radiance = radiance + jnp.where(live_miss, weight * miss_rgb, 0.0)
+
+        # ---- emissive hit every bounce, no MIS (CudaUtil.cuh:220-224)
+        emissive = sqlen3(mat["emittance"]) > EPS
+        radiance = radiance + jnp.where(live_hit & emissive,
+                                        weight * mat["emittance"], 0.0)
+
+        # ---- NEE (CudaUtil.cuh:234-272)
+        shadow_count = jnp.zeros_like(zeros1)
+        if cfg.nee and num_lights > 0 and "nee" not in ablate:
+            slot = jnp.minimum((u[0] * num_lights).astype(jnp.int32),
+                               num_lights - 1)
+            lv0 = _light_vec(light_ref, num_lights, slot, 0, zeros1)
+            lv1 = _light_vec(light_ref, num_lights, slot, 3, zeros1)
+            lv2 = _light_vec(light_ref, num_lights, slot, 6, zeros1)
+            area = _light_select(light_ref, num_lights, slot, 9, zeros1)
+            l_normal = _light_vec(light_ref, num_lights, slot, 10, zeros1)
+            r1 = safe_sqrt(u[1])
+            r2 = u[2]
+            point = (1.0 - r1) * lv0 + r1 * (1.0 - r2) * lv1 + r1 * r2 * lv2
+            to_light = point - hit_p
+            dist2 = sqlen3(to_light)
+            dist = jnp.sqrt(jnp.maximum(dist2, TINY))
+            sdir = normalize3(to_light)
+
+            # shadow ray (GetLightColor, CudaUtil.cuh:150-166): t in
+            # [EPS, dist+1]. t_min = EPS, not the reference's 0: a t_min
+            # of 0 lets the ray re-hit its own SPHERE at t ~ +-1e-7
+            # depending on rounding, flipping across compiled programs
+            # (see nee_contribution, megakernel.py). Identity acceptance
+            # (winner == sampled light tri; see nee_contribution for the
+            # deviation note) - the split-precision search orders the
+            # light correctly against near-coincident geometry, so no
+            # exact recompute or attribute fetch is needed.
+            s_tmax = dist + 1.0
+            s_tmin = zeros1 + EPS
+            spk = unpan(jnp.concatenate([hit_p, sdir, s_tmin, s_tmax],
+                                        axis=0))
+            s_hit_f, s_t_f, s_arg_f = _closest_tri(
+                m_ref, spk[0:3], spk[3:6], spk[6:7], spk[7:8], t_pad)
+            sik = pan(jnp.concatenate([s_hit_f.astype(jnp.int32), s_arg_f],
+                                      axis=0))
+            s_hit_tri = sik[0:1] != 0
+            s_arg = sik[1:2]
+            if num_spheres:
+                s_t_approx = pan(s_t_f)
+                s_cur = jnp.where(s_hit_tri, s_t_approx, s_tmax)
+                so_hit, so_t, _ = _closest_sphere(
+                    sph_ref, num_spheres, hit_p, sdir, s_tmin, s_cur)
+                s_use_sph = so_hit & (~s_hit_tri | (so_t < s_t_approx))
+            else:
+                s_use_sph = jnp.zeros_like(s_hit_tri) & False
+            light_id = _light_select(light_ref, num_lights, slot, 13, zeros1)
+            reached = (s_hit_tri & ~s_use_sph
+                       & (s_arg == light_id.astype(jnp.int32)))
+            l_emit = _light_vec(light_ref, num_lights, slot, 14, zeros1)
+            light_color = jnp.where(reached, l_emit, 0.0)
+
+            cos_a = jnp.maximum(dot3(l_normal, normalize3(hit_p - point)), 0.0)
+            pdf_light = bsdf_t.safe_div(jnp.ones_like(area), area) / num_lights
+            brdfcos = bsdf_t.eval_bsdfcos(mat, frame, wo, sdir)
+            contrib = (brdfcos * light_color * cos_a
+                       / jnp.maximum(dist2 * pdf_light, TINY))
+            finite = jnp.min(jnp.where(_finite(contrib), 1.0, 0.0), axis=0,
+                             keepdims=True) > 0.5
+            radiance = radiance + jnp.where(live_hit & finite, weight * contrib,
+                                            0.0)
+            shadow_count = jnp.where(live_hit, 1.0, 0.0)
+
+        # ---- BSDF sampling (CudaUtil.cuh:276-338); wavefront is primal-only,
+        # no detach needed (stop_gradient has no effect on the primal anyway)
+        if "bsdf" in ablate:
+            wi = frame["normal"]
+            current_weight = mat["albedo"]
+        else:
+            wi = bsdf_t.sample_bsdf(mat, frame, wo, u[3], u[4], u[5])
+            w1 = bsdf_t.eval_bsdfcos(mat, frame, wo, wi)
+            w2 = jnp.maximum(bsdf_t.pdf_bsdf(mat, frame, wo, wi), cfg.pdf_clamp)
+            current_weight = w1 / w2
+
+        dead_sample = sqlen3(wi) <= EPS
+        cont = live_hit & ~dead_sample
+        weight = jnp.where(cont, weight * current_weight, weight)
+
+        # sticky refraction flag (CudaUtil.cuh:307)
+        transparent = mat["opacity"] < (1.0 - EPS)
+        new_refr = dot3(frame["normal"], wo) * dot3(frame["normal"], wi) <= 0.0
+        reassign = cont & transparent
+        refracted = (reassign & new_refr) | (~reassign & refracted)
+
+        # next ray (CudaUtil.cuh:349-350)
+        org_next = hit_p + frame["normal"] * jnp.where(refracted, -EPS, EPS)
+        dir_next = normalize3(wi)
+        org = jnp.where(cont, org_next, org)
+        dirn = jnp.where(cont, dir_next, dirn)
+
+        # refraction depth exemption + cap `RefractCnt++ > 8` (CudaUtil.cuh:351-359)
+        refract_now = cont & refracted
+        over_cap = refract_now & (refract_cnt > cfg.refract_cap)
+        refract_cnt = refract_cnt + refract_now.astype(jnp.int32)
+
+        # Russian roulette (CudaUtil.cuh:361-373)
+        rr_lane = cont & ~refracted & (depth >= cfg.rr_bounce)
+        rr_prob = jnp.clip(bsdf_t.max3_t(weight), cfg.rr_stop_prob, 1.0)
+        rr_survive = u[6] < rr_prob
+        weight = jnp.where(rr_lane & rr_survive, weight / rr_prob, weight)
+
+        depth_next = depth + jnp.where(cont & ~refracted, 1, 0)
+        alive_next = (cont & ~over_cap & ~(rr_lane & ~rr_survive)
+                      & (depth_next < cfg.max_bounce))
+        depth = depth_next
+
+        rays_acc = rays_acc + jnp.where(alive, 1.0, 0.0) + shadow_count
+
+        # ---- film commit + strided regeneration (wavefront.py, static assign)
+        died = alive & ~alive_next
+        contrib_f = jnp.where(died, radiance, 0.0)
+        if k_pix == 1:
+            film = film + contrib_f
+        else:
+            kmod = jnp.remainder((ray_ids - base_path) // lanes_total, k_pix)
+            parts = [film[3 * k:3 * k + 3] + jnp.where(kmod == k, contrib_f, 0.0)
+                     for k in range(k_pix)]
+            film = jnp.concatenate(parts, axis=0)
+
+        # Regeneration considers EVERY non-continuing lane (not only freshly
+        # died ones): _run_fused starts all lanes dead with ray_ids one
+        # stride behind, so every camera ray - including the first one a
+        # lane traces - is generated by THIS code path. (A separate XLA-side
+        # init raygen computed the same formulas with different rounding;
+        # sphere transport is chaotic enough that the ~1e-7 direction
+        # differences became macroscopic per-path divergence between chunked
+        # and single launches of the same render.)
+        new_idx = ray_ids + lanes_total
+        regen = ~alive_next & (new_idx - base_path < total_paths)
+        if "regen" in ablate:
+            regen = regen & (zeros1 > 1.0)
+        new_safe = jnp.where(regen, new_idx, 0)
+        pixel = jnp.remainder(new_safe, num_pix)
+        px = jnp.remainder(pixel, width).astype(jnp.float32)
+        py = (pixel // width).astype(jnp.float32)
+        jx, jy = _jitter2(new_safe, k0, k1)
+        sx = 2.0 * ((px + jx) / (width - 1) - 0.5)
+        sy = 2.0 * ((py + jy) / (height - 1) - 0.5)
+        cam = [cam_ref[0, j] for j in range(14)]
+        d = jnp.concatenate(
+            [cam[3 + i] + sx * cam[12] * cam[9 + i] - sy * cam[13] * cam[6 + i]
+             for i in range(3)], axis=0)
+        r_dir = normalize3(d)
+        r_org = jnp.concatenate([zeros1 + cam[0], zeros1 + cam[1],
+                                 zeros1 + cam[2]], axis=0)
+
+        org = jnp.where(regen, r_org, org)
+        dirn = jnp.where(regen, r_dir, dirn)
+        radiance = jnp.where(regen | died, 0.0, radiance)
+        weight = jnp.where(regen, 1.0, weight)
+        depth = jnp.where(regen, 0, depth)
+        refract_cnt = jnp.where(regen, 0, refract_cnt)
+        refracted = ~regen & refracted
+        alive_next = alive_next | regen
+        ray_ids = jnp.where(regen, new_safe, ray_ids)
+        lane_iter = jnp.where(regen, 0, lane_iter + 1)
+
+        return (org, dirn, radiance, weight, film, rays_acc, depth,
+                refract_cnt, refracted.astype(jnp.int32),
+                alive_next.astype(jnp.int32), ray_ids, lane_iter)
+
+    if g_inner == 1:
+        out = one_bounce(carry0)
     else:
-        wi = bsdf_t.sample_bsdf(mat, frame, wo, u[3], u[4], u[5])
-        w1 = bsdf_t.eval_bsdfcos(mat, frame, wo, wi)
-        w2 = jnp.maximum(bsdf_t.pdf_bsdf(mat, frame, wo, wi), cfg.pdf_clamp)
-        current_weight = w1 / w2
-
-    dead_sample = sqlen3(wi) <= EPS
-    cont = live_hit & ~dead_sample
-    weight = jnp.where(cont, weight * current_weight, weight)
-
-    # sticky refraction flag (CudaUtil.cuh:307)
-    transparent = mat["opacity"] < (1.0 - EPS)
-    new_refr = dot3(frame["normal"], wo) * dot3(frame["normal"], wi) <= 0.0
-    reassign = cont & transparent
-    refracted = (reassign & new_refr) | (~reassign & refracted)
-
-    # next ray (CudaUtil.cuh:349-350)
-    org_next = hit_p + frame["normal"] * jnp.where(refracted, -EPS, EPS)
-    dir_next = normalize3(wi)
-    org = jnp.where(cont, org_next, org)
-    dirn = jnp.where(cont, dir_next, dirn)
-
-    # refraction depth exemption + cap `RefractCnt++ > 8` (CudaUtil.cuh:351-359)
-    refract_now = cont & refracted
-    over_cap = refract_now & (refract_cnt > cfg.refract_cap)
-    refract_cnt = refract_cnt + refract_now.astype(jnp.int32)
-
-    # Russian roulette (CudaUtil.cuh:361-373)
-    rr_lane = cont & ~refracted & (depth >= cfg.rr_bounce)
-    rr_prob = jnp.clip(bsdf_t.max3_t(weight), cfg.rr_stop_prob, 1.0)
-    rr_survive = u[6] < rr_prob
-    weight = jnp.where(rr_lane & rr_survive, weight / rr_prob, weight)
-
-    depth_next = depth + jnp.where(cont & ~refracted, 1, 0)
-    alive_next = (cont & ~over_cap & ~(rr_lane & ~rr_survive)
-                  & (depth_next < cfg.max_bounce))
-    depth = depth_next
-
-    rays_out[:] = jnp.where(alive, 1.0, 0.0) + shadow_count
-
-    # ---- film commit + strided regeneration (wavefront.py, static assign)
-    died = alive & ~alive_next
-    contrib_f = jnp.where(died, radiance, 0.0)
-    if k_pix == 1:
-        film = film + contrib_f
-    else:
-        kmod = jnp.remainder((ray_ids - base_path) // lanes_total, k_pix)
-        parts = [film[3 * k:3 * k + 3] + jnp.where(kmod == k, contrib_f, 0.0)
-                 for k in range(k_pix)]
-        film = jnp.concatenate(parts, axis=0)
-
-    # Regeneration considers EVERY non-continuing lane (not only freshly
-    # died ones): _run_fused starts all lanes dead with ray_ids one
-    # stride behind, so every camera ray - including the first one a
-    # lane traces - is generated by THIS code path. (A separate XLA-side
-    # init raygen computed the same formulas with different rounding;
-    # sphere transport is chaotic enough that the ~1e-7 direction
-    # differences became macroscopic per-path divergence between chunked
-    # and single launches of the same render.)
-    new_idx = ray_ids + lanes_total
-    regen = ~alive_next & (new_idx - base_path < total_paths)
-    if "regen" in ablate:
-        regen = regen & (zeros1 > 1.0)
-    new_safe = jnp.where(regen, new_idx, 0)
-    pixel = jnp.remainder(new_safe, num_pix)
-    px = jnp.remainder(pixel, width).astype(jnp.float32)
-    py = (pixel // width).astype(jnp.float32)
-    jx, jy = _jitter2(new_safe, k0, k1)
-    sx = 2.0 * ((px + jx) / (width - 1) - 0.5)
-    sy = 2.0 * ((py + jy) / (height - 1) - 0.5)
-    cam = [cam_ref[0, j] for j in range(14)]
-    d = jnp.concatenate(
-        [cam[3 + i] + sx * cam[12] * cam[9 + i] - sy * cam[13] * cam[6 + i]
-         for i in range(3)], axis=0)
-    r_dir = normalize3(d)
-    r_org = jnp.concatenate([zeros1 + cam[0], zeros1 + cam[1],
-                             zeros1 + cam[2]], axis=0)
-
-    org = jnp.where(regen, r_org, org)
-    dirn = jnp.where(regen, r_dir, dirn)
-    radiance = jnp.where(regen | died, 0.0, radiance)
-    weight = jnp.where(regen, 1.0, weight)
-    depth = jnp.where(regen, 0, depth)
-    refract_cnt = jnp.where(regen, 0, refract_cnt)
-    refracted = ~regen & refracted
-    alive_next = alive_next | regen
-    ray_ids = jnp.where(regen, new_safe, ray_ids)
-    lane_iter = jnp.where(regen, 0, lane_iter + 1)
-
+        out = jax.lax.fori_loop(0, g_inner, lambda _, c: one_bounce(c),
+                                carry0)
+    (org, dirn, radiance, weight, film, rays_acc, depth, refract_cnt,
+     refracted_i, alive_i, ray_ids, lane_iter) = out
     sf_out[0:3] = org
     sf_out[3:6] = dirn
     sf_out[6:9] = radiance
     sf_out[9:12] = weight
     sf_out[12:12 + 3 * k_pix] = film
+    sf_out[12 + 3 * k_pix:13 + 3 * k_pix] = rays_acc
     si_out[0:1] = depth
     si_out[1:2] = refract_cnt
-    si_out[2:3] = refracted.astype(jnp.int32)
-    si_out[3:4] = alive_next.astype(jnp.int32)
+    si_out[2:3] = refracted_i
+    si_out[3:4] = alive_i
     si_out[4:5] = ray_ids
     si_out[5:6] = lane_iter
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "lanes", "k_pix", "width", "height",
-                              "block_r", "interpret", "ablate"))
+                              "block_r", "interpret", "ablate", "g_inner"))
 def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
                       cfg, lanes, k_pix, width, height,
                       block_r: int = 2048, interpret: bool = False,
-                      ablate: frozenset = frozenset()):
-    """One wavefront iteration over all lanes. State rows in, state rows
-    out, plus a (1, lanes) per-lane ray-count row."""
+                      ablate: frozenset = frozenset(), g_inner: int = 1):
+    """g_inner wavefront iterations over all lanes. State rows in, state
+    rows out; the per-lane ray count accumulates in sf's LAST row.
+
+    State arrays are PANELED (rows, 8, lanes/8): lane (s, j) is flat lane
+    s*(lanes/8)+j. A block covers block_l = block_r/8 columns of every
+    sublane, i.e. block_r lanes. The state buffers are donated
+    (input_output_aliases) - callers must not reuse sf/si after the
+    call."""
     block_r = min(block_r, lanes)
-    assert lanes % block_r == 0
-    grid = (lanes // block_r,)
-    sf_rows = 12 + 3 * k_pix
+    assert lanes % block_r == 0 and block_r % 8 == 0
+    block_l = block_r // 8
+    lanes_l = lanes // 8
+    grid = (lanes_l // block_l,)
+    sf_rows = 13 + 3 * k_pix
     t_pad = pack.t_pad
 
     def smem(shape):
@@ -670,7 +774,7 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     def rowblk(nrows):
-        return pl.BlockSpec((nrows, block_r), lambda i: (0, i),
+        return pl.BlockSpec((nrows, 8, block_l), lambda i: (0, 0, i),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -678,9 +782,10 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
         num_spheres=0 if "spheres" in ablate else pack.num_spheres,
         num_lights=pack.num_lights,
         lanes_total=lanes, num_pix=width * height, width=width,
-        height=height, k_pix=k_pix, ablate=ablate)
+        height=height, k_pix=k_pix, block_l=block_l, g_inner=g_inner,
+        ablate=ablate)
 
-    sf2, si2, rays = pl.pallas_call(
+    sf2, si2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -693,19 +798,22 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
             rep((ATTR_ROWS, t_pad)),           # attrs hi
             rep((ATTR_ROWS, t_pad)),           # attrs mid
             rep((ATTR_ROWS, t_pad)),           # attrs lo
-            rowblk(sf_rows),                   # state f32
+            rowblk(sf_rows),                   # state f32 (+rays row)
             rowblk(6),                         # state i32
         ],
-        out_specs=[rowblk(sf_rows), rowblk(6), rowblk(1)],
+        out_specs=[rowblk(sf_rows), rowblk(6)],
         out_shape=[
-            jax.ShapeDtypeStruct((sf_rows, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((6, lanes), jnp.int32),
-            jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((sf_rows, 8, lanes_l), jnp.float32),
+            jax.ShapeDtypeStruct((6, 8, lanes_l), jnp.int32),
         ],
+        # NOTE: input_output_aliases={9: 0, 10: 1} was measured ~1.8x
+        # SLOWER here (590 vs 323 us/iter at 65536 lanes) - XLA inserts
+        # defensive copies around the donated while-carry - so the state
+        # buffers are deliberately NOT donated.
         interpret=interpret,
     )(misc, key2, cam16, pack.spheres, pack.lights, pack.m_packed,
       pack.attrs_hi, pack.attrs_mid, pack.attrs_lo, sf, si)
-    return sf2, si2, rays
+    return sf2, si2
 
 
 # ---------------------------------------------------------------------------
@@ -725,10 +833,11 @@ def _cam16(camera) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lanes", "k_pix",
                                              "width", "height", "block_r",
-                                             "interpret"))
+                                             "interpret", "g_inner"))
 def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
-               k_pix, width, height, block_r, interpret):
+               k_pix, width, height, block_r, interpret, g_inner=8):
     num_pix = width * height
+    lanes_l = lanes // 8
     spp = jnp.asarray(spp, jnp.int32)
     base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
     total_paths = num_pix * spp
@@ -740,30 +849,34 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
     # initial and regenerated rays are bit-identical regardless of
     # chunking (see the regen comment in _bounce_kernel). Costs one
     # regen-only iteration per launch.
-    local0 = jnp.arange(lanes, dtype=jnp.int32)
-    sf_rows = 12 + 3 * k_pix
-    sf = jnp.zeros((sf_rows, lanes), jnp.float32)
+    local0 = jnp.arange(lanes, dtype=jnp.int32).reshape(8, lanes_l)
+    sf_rows = 13 + 3 * k_pix
+    sf = jnp.zeros((sf_rows, 8, lanes_l), jnp.float32)
     sf = sf.at[3:5].set(1.0)  # nonzero dir placeholder for dead lanes
-    si = jnp.zeros((6, lanes), jnp.int32)
+    si = jnp.zeros((6, 8, lanes_l), jnp.int32)
     si = si.at[4].set(base_path + local0 - lanes)
 
     def cond(state):
-        _, si_c, _ = state
+        _, si_c = state
         pool_left = jnp.any(si_c[4] + lanes - base_path < total_paths)
         return jnp.any(si_c[3] != 0) | pool_left
 
     def body(state):
-        sf_c, si_c, rays_c = state
-        sf_n, si_n, rays_row = fused_bounce_step(
+        # g_inner bounce iterations run INSIDE one kernel call (see
+        # _bounce_kernel): the per-call fixed cost measured ~143 us
+        # regardless of lanes/blocks, and the liveness check between
+        # calls adds more; overshooting by <= g_inner-1 all-dead
+        # iterations per launch is noise against ~400 productive ones.
+        sf_c, si_c = state
+        return fused_bounce_step(
             pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=lanes,
             k_pix=k_pix, width=width, height=height, block_r=block_r,
-            interpret=interpret)
-        return sf_n, si_n, rays_c + jnp.sum(rays_row)
+            interpret=interpret, g_inner=g_inner)
 
-    sf, si, rays = jax.lax.while_loop(cond, body,
-                                      (sf, si, jnp.zeros((), jnp.float32)))
+    sf, si = jax.lax.while_loop(cond, body, (sf, si))
+    rays = jnp.sum(sf[12 + 3 * k_pix])
 
-    film = sf[12:12 + 3 * k_pix]                        # (3K, lanes)
+    film = sf[12:12 + 3 * k_pix].reshape(3 * k_pix, lanes)  # (3K, lanes)
     if k_pix == 1:
         film_pix = film.T                               # lane i -> pixel i%P
         if lanes > num_pix:
@@ -778,7 +891,7 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
 def render_wavefront_fused(scene, camera, spp, base_key, cfg=None,
                            lanes: int = 65536, chunk_spp: int = 64,
                            block_r: int = 2048, interpret: bool = False,
-                           pack: FusedPack = None):
+                           pack: FusedPack = None, g_inner: int = 8):
     """Fused-kernel wavefront render -> ((H, W, 3) image, rays traced).
 
     Same estimator as render_wavefront (per-path streams keyed by
@@ -807,7 +920,8 @@ def render_wavefront_fused(scene, camera, spp, base_key, cfg=None,
         img, nrays = _run_fused(
             pack, cam16, base_key, np.int32(cur), np.int32(done), cfg=cfg,
             lanes=lanes, k_pix=k_pix, width=camera.width,
-            height=camera.height, block_r=block_r, interpret=interpret)
+            height=camera.height, block_r=block_r, interpret=interpret,
+            g_inner=g_inner)
         film = film + np.asarray(img) * cur
         rays += float(nrays)
         done += cur

@@ -37,17 +37,16 @@ cfg = IntegratorConfig()
 key = rng.make_key(0)
 
 k_pix = max(1, (W * H) // LANES)
-sf_rows = 12 + 3 * k_pix
+sf_rows = 13 + 3 * k_pix  # incl. rays-accumulator row
 misc = jnp.stack([jnp.int32(0), jnp.int32(W * H * 64)])[None, :]
 key2 = jnp.stack([key[0], key[1]])[None, :]
 cam16 = _cam16(camera)
 
-local0 = jnp.arange(LANES, dtype=jnp.int32)
-sf = jnp.zeros((sf_rows, LANES), jnp.float32).at[3:6].set(
-    jnp.stack([jnp.zeros(LANES), jnp.zeros(LANES) - 1.0,
-               jnp.zeros(LANES)]).astype(jnp.float32))
+LANES_L = LANES // 8
+local0 = jnp.arange(LANES, dtype=jnp.int32).reshape(8, LANES_L)
+sf = jnp.zeros((sf_rows, 8, LANES_L), jnp.float32).at[4].set(-1.0)
 sf = sf.at[9:12].set(1.0)
-si = jnp.zeros((6, LANES), jnp.int32).at[3].set(1).at[4].set(local0)
+si = jnp.zeros((6, 8, LANES_L), jnp.int32).at[3].set(1).at[4].set(local0)
 
 import functools
 
@@ -57,11 +56,11 @@ def timed(ablate):
     def loop_steps(sf, si):
         def body(_, c):
             sf_c, si_c, r = c
-            sf_n, si_n, rr = fused_bounce_step(
+            sf_n, si_n = fused_bounce_step(
                 pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=LANES,
                 k_pix=k_pix, width=W, height=H, block_r=BLOCK_R,
                 ablate=frozenset(ablate))
-            return sf_n, si_n, r + jnp.sum(rr)
+            return sf_n, si_n, r
         return jax.lax.fori_loop(0, ITERS, body,
                                  (sf, si, jnp.zeros((), jnp.float32)))
 

@@ -34,7 +34,7 @@ cfg = IntegratorConfig()
 key = rng.make_key(0)
 
 k_pix = max(1, (W * H) // LANES)
-sf_rows = 12 + 3 * k_pix
+sf_rows = 13 + 3 * k_pix  # incl. rays-accumulator row
 misc = jnp.stack([jnp.int32(0), jnp.int32(W * H * 64)])[None, :]
 key2 = jnp.stack([key[0], key[1]])[None, :]
 cam16 = _cam16(camera)
@@ -51,10 +51,10 @@ si = jnp.zeros((6, LANES), jnp.int32).at[3].set(1).at[4].set(local0)
 def loop_steps(sf, si):
     def body(_, c):
         sf_c, si_c, r = c
-        sf_n, si_n, rr = fused_bounce_step(
+        sf_n, si_n = fused_bounce_step(
             pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=LANES,
             k_pix=k_pix, width=W, height=H, block_r=BLOCK_R)
-        return sf_n, si_n, r + jnp.sum(rr)
+        return sf_n, si_n, r
 
     return jax.lax.fori_loop(0, ITERS, body,
                              (sf, si, jnp.zeros((), jnp.float32)))

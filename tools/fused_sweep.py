@@ -39,23 +39,28 @@ key2 = jnp.stack([key[0], key[1]])[None, :]
 cam16 = _cam16(camera)
 
 
+G_INNER = int(os.environ.get("MB_GINNER", 1))
+
+
 def timed(lanes, block_r):
     k_pix = max(1, (W * H) // lanes)
-    sf_rows = 12 + 3 * k_pix
+    sf_rows = 13 + 3 * k_pix  # incl. rays-accumulator row
     misc = jnp.stack([jnp.int32(0), jnp.int32(W * H * 64)])[None, :]
-    local0 = jnp.arange(lanes, dtype=jnp.int32)
-    sf = jnp.zeros((sf_rows, lanes), jnp.float32).at[4].set(-1.0)
+    lanes_l = lanes // 8
+    local0 = jnp.arange(lanes, dtype=jnp.int32).reshape(8, lanes_l)
+    sf = jnp.zeros((sf_rows, 8, lanes_l), jnp.float32).at[4].set(-1.0)
     sf = sf.at[9:12].set(1.0)
-    si = jnp.zeros((6, lanes), jnp.int32).at[3].set(1).at[4].set(local0)
+    si = jnp.zeros((6, 8, lanes_l), jnp.int32).at[3].set(1).at[4].set(local0)
 
     @jax.jit
     def loop_steps(sf, si):
         def body(_, c):
             sf_c, si_c, r = c
-            sf_n, si_n, rr = fused_bounce_step(
+            sf_n, si_n = fused_bounce_step(
                 pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=lanes,
-                k_pix=k_pix, width=W, height=H, block_r=block_r)
-            return sf_n, si_n, r + jnp.sum(rr)
+                k_pix=k_pix, width=W, height=H, block_r=block_r,
+                g_inner=G_INNER)
+            return sf_n, si_n, r
         return jax.lax.fori_loop(0, ITERS, body,
                                  (sf, si, jnp.zeros((), jnp.float32)))
 
@@ -64,16 +69,21 @@ def timed(lanes, block_r):
     t0 = time.perf_counter()
     out = loop_steps(sf, si)
     jax.block_until_ready(out)
-    us = (time.perf_counter() - t0) / ITERS * 1e6
+    us = (time.perf_counter() - t0) / (ITERS * G_INNER) * 1e6
     # lanes/iter normalized: ns per lane-iteration
-    print(f"lanes={lanes:7d} block_r={block_r:6d}: {us:9.1f} us/iter "
-          f"({us * 1e3 / lanes:7.3f} ns/lane-iter)", flush=True)
+    print(f"lanes={lanes:7d} block_r={block_r:6d} g={G_INNER}: "
+          f"{us:9.1f} us/iter ({us * 1e3 / lanes:7.3f} ns/lane-iter)",
+          flush=True)
 
 
-for lanes, block_r in [
-    (65536, 2048), (65536, 8192), (65536, 16384), (65536, 65536),
-    (131072, 8192), (131072, 16384),
-    (262144, 8192), (262144, 16384), (262144, 32768),
-    (524288, 32768),
-]:
+import json
+
+CONFIGS = os.environ.get(
+    "MB_CONFIGS",
+    "65536:2048 65536:4096 65536:8192 65536:16384 "
+    "131072:8192 131072:16384 262144:16384 262144:32768")
+# block_r 65536 at 65536 lanes OOMs scoped VMEM (42.68M vs the 16M
+# limit) - keep blocks <= 32768
+for tok in CONFIGS.split():
+    lanes, block_r = (int(v) for v in tok.split(":"))
     timed(lanes, block_r)
