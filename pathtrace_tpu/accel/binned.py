@@ -138,7 +138,7 @@ def _slab_all(org, inv_d, bmin, bmax, t_min, t_max):
 
 
 def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
-                           k_max: int = 8):
+                           k_max: int = 24):
     """Closest-hit (tri_hit, t, global_tri_idx, u, v, overflow).
 
     overflow: (R,) bool - ray hit more than k_max cluster AABBs (its
@@ -247,14 +247,33 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
                  + jnp.minimum(g_arg, c - 1))
         return None, (g_best_t, g_u, g_v, g_tri)
 
-    xs = (slot_ray_b.reshape(ng, group, b),
-          block_cluster.reshape(ng, group))
-    _, (pair_best_t, pair_u, pair_v, pair_tri) = jax.lax.scan(
-        group_body, None, xs)
-    pair_best_t = pair_best_t.reshape(ng * group, b)[:nb]
-    pair_u = pair_u.reshape(ng * group, b)[:nb]
-    pair_v = pair_v.reshape(ng * group, b)[:nb]
-    pair_tri = pair_tri.reshape(ng * group, b)[:nb]
+    # only blocks belonging to REAL clusters (< m) need processing: the
+    # invalid-pair run (cluster id m: top_k slots beyond a ray's actual
+    # AABB hits) sorts last, so the loop bound is dynamic - the MXU work
+    # tracks the number of VALID pairs (~R * avg clusters per ray), not
+    # the static R * k_max pair capacity.
+    nb_real = cum_pad_blocks[m - 1]
+    ng_real = (nb_real + group - 1) // group
+    outs0 = (jnp.full((ng * group, b), jnp.inf, jnp.float32),
+             jnp.zeros((ng * group, b), jnp.float32),
+             jnp.zeros((ng * group, b), jnp.float32),
+             jnp.zeros((ng * group, b), jnp.int32))
+
+    def group_loop(g, outs):
+        s = g * group
+        sl_ray = jax.lax.dynamic_slice_in_dim(slot_ray_b, s, group)
+        bc = jax.lax.dynamic_slice_in_dim(block_cluster, s, group)
+        _, (g_t, g_u, g_v, g_tri) = group_body(None, (sl_ray, bc))
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(o, val, s, 0)
+            for o, val in zip(outs, (g_t, g_u, g_v, g_tri)))
+
+    pair_best_t, pair_u, pair_v, pair_tri = jax.lax.fori_loop(
+        0, ng_real, group_loop, outs0)
+    pair_best_t = pair_best_t[:nb]
+    pair_u = pair_u[:nb]
+    pair_v = pair_v[:nb]
+    pair_tri = pair_tri[:nb]
     slot_ray = slot_ray_b[:nb].reshape(-1)
 
     # scatter-min back to rays
@@ -278,7 +297,7 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
 
 
 def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
-                   k_max: int = 8):
+                   k_max: int = 24):
     """Drop-in raycast via binned traversal (scene.clusters required).
 
     Overflow rays (more than k_max cluster AABB hits) are re-resolved with
@@ -303,15 +322,26 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
         clusters, org_d, dirn_d, tmin_d, tmax_d, k_max=k_max)
 
     if scene.mt is not None:
-        # exact fallback for overflow rays (typically none); auto-chunked
-        # above 8k tris (a full (R, T) product would exceed HBM)
-        hit_f, t_f, idx_f, u_f, v_f = mt_closest_auto(
-            scene.mt, org_d, dirn_d, tmin_d, tmax_d)
-        hit = jnp.where(overflow, hit_f, hit)
-        best_t = jnp.where(overflow, t_f, best_t)
-        idx = jnp.where(overflow, idx_f, idx)
-        u = jnp.where(overflow, u_f, u)
-        v = jnp.where(overflow, v_f, v)
+        # exact fallback for overflow rays, gated behind lax.cond: the
+        # full-scene chunked MT product is ~R*T work (5.4G products per
+        # bounce on blob82k at 65k lanes) and used to run UNCONDITIONALLY
+        # every raycast - the reason the mesh bench sat at ~13k paths/s.
+        # With k_max=24 the overflow rate is ~0 (0.0425 at k=8, 0.0005 at
+        # k=16, 0.0 at k=32 on blob82k camera rays), so the branch almost
+        # never executes.
+        def fallback(args):
+            h, bt, ix, uu, vv = args
+            hit_f, t_f, idx_f, u_f, v_f = mt_closest_auto(
+                scene.mt, org_d, dirn_d, tmin_d, tmax_d)
+            return (jnp.where(overflow, hit_f, h),
+                    jnp.where(overflow, t_f, bt),
+                    jnp.where(overflow, idx_f, ix),
+                    jnp.where(overflow, u_f, uu),
+                    jnp.where(overflow, v_f, vv))
+
+        hit, best_t, idx, u, v = jax.lax.cond(
+            jnp.any(overflow), fallback, lambda a: a,
+            (hit, best_t, idx, u, v))
 
     # differentiable recompute at the detached chosen prim. No-hit lanes
     # may carry indices into a cluster's padding slots; clamp into range

@@ -58,7 +58,15 @@ def cmd_render(args) -> int:
     for p in range(start_pass, passes):
         t0 = time.perf_counter()
         pass_key = rng.iter_key(key, 1000 + p)
-        if use_wavefront:
+        if args.engine == "fused":
+            from pathtrace_tpu.ops.pallas.bounce_kernel import (
+                auto_fused_config, render_wavefront_fused)
+            lanes, block_r = auto_fused_config(w * h)
+            pass_img, _ = render_wavefront_fused(
+                scene, camera, spp_per_pass, pass_key, cfg,
+                lanes=lanes, block_r=block_r,
+                chunk_spp=min(spp_per_pass, 256))
+        elif use_wavefront:
             from pathtrace_tpu.integrator.wavefront import (
                 render_wavefront_chunked)
             pass_img, _ = render_wavefront_chunked(
@@ -161,7 +169,7 @@ def main(argv=None) -> int:
     pr.add_argument("--checkpoint", default="")
     pr.add_argument("--resume", action="store_true")
     pr.add_argument("--engine", default="wavefront",
-                    choices=("wavefront", "megakernel"))
+                    choices=("wavefront", "megakernel", "fused"))
     pr.add_argument("--hemisphere", default="cosine",
                     choices=("cosine", "uniform"),
                     help="diffuse hemisphere sampling A/B "

@@ -888,6 +888,32 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
     return img, rays
 
 
+def auto_fused_config(num_pix: int, target_lanes: int = 65536):
+    """(lanes, block_r) satisfying the fused engine's constraints for an
+    arbitrary pixel count:
+
+    - film mapping needs lanes % num_pix == 0 or num_pix % lanes == 0,
+    - Pallas needs the block's lane dim divisible by 128, i.e.
+      block_r % 1024 == 0 and block_r | lanes.
+
+    Powers-of-two pixel counts get the tuned (65536, 2048). Otherwise
+    lanes = k * num_pix for the smallest k making lanes 1024-aligned
+    (k = 1024 / gcd(num_pix, 1024)), scaled up toward target_lanes."""
+    import math
+
+    if target_lanes % num_pix == 0 or num_pix % target_lanes == 0:
+        return target_lanes, 2048
+    k = 1024 // math.gcd(num_pix, 1024)
+    lanes = k * num_pix
+    while lanes * 2 <= max(target_lanes, num_pix) * 4:
+        lanes *= 2
+        k *= 2
+    for d in range(8, 0, -1):
+        if (lanes // 1024) % d == 0:
+            return lanes, 1024 * d
+    return lanes, 1024
+
+
 def render_wavefront_fused(scene, camera, spp, base_key, cfg=None,
                            lanes: int = 65536, chunk_spp: int = 64,
                            block_r: int = 2048, interpret: bool = False,
