@@ -138,7 +138,7 @@ def _slab_all(org, inv_d, bmin, bmax, t_min, t_max):
 
 
 def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
-                           k_max: int = 24):
+                           k_max: int = 48):
     """Closest-hit (tri_hit, t, global_tri_idx, u, v, overflow).
 
     overflow: (R,) bool - ray hit more than k_max cluster AABBs (its
@@ -164,27 +164,45 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
     neg_top, top_idx = jax.lax.top_k(-tnear_masked, k_max)   # (R, K)
     pair_valid = jnp.isfinite(-neg_top)
 
-    # pairs, sorted by cluster id (invalid pairs sort last via id=m)
-    pair_ray = jnp.repeat(jnp.arange(r, dtype=jnp.int32), k_max)
-    pair_cluster = jnp.where(pair_valid, top_idx, m).reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(pair_cluster, stable=True)
-    pair_ray = pair_ray[order]
-    pair_cluster = pair_cluster[order]
+    # Pairs sorted by cluster id, SCATTER-FREE (profiling on blob82k
+    # showed the original scatter-built dispatch - counts .at[].add over
+    # R*K pairs, per-pair cumsum gathers, argsort + permutation gathers -
+    # cost 25.7 ms of a 43 ms raycast at 16k rays; TPU serializes
+    # small-element scatters/gathers while dense sorts/scans are fast):
+    # 1. pack (cluster, ray) into ONE uint32 key and jnp.sort it - no
+    #    argsort, no permutation gathers (invalid pairs get id m, last);
+    # 2. run boundaries via searchsorted with m+1 queries (not R*K);
+    # 3. pad-to-block offsets propagated along runs with a cummax scan;
+    # 4. one sorted-unique-index store scatter builds the padded slots.
+    assert m < (1 << 10) and r <= (1 << 22), (m, r)
+    pair_ray0 = jax.lax.broadcasted_iota(jnp.uint32, (r, k_max), 0)
+    keys = ((jnp.where(pair_valid, top_idx, m).astype(jnp.uint32) << 22)
+            | pair_ray0).reshape(-1)
+    keys = jnp.sort(keys)
+    pair_cluster = (keys >> 22).astype(jnp.int32)
+    pair_ray = (keys & jnp.uint32((1 << 22) - 1)).astype(jnp.int32)
     p = pair_ray.shape[0]
 
-    # pad each cluster's run to a multiple of B by computing padded slots
     b = c  # pair-block size = cluster capacity (keeps matmuls square-ish)
-    counts = jnp.zeros((m + 1,), jnp.int32).at[pair_cluster].add(1)
+    starts = jnp.searchsorted(pair_cluster,
+                              jnp.arange(m + 2, dtype=jnp.int32))
+    counts = jnp.diff(starts)                        # (m+1,)
     padded = ((counts + b - 1) // b) * b
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(padded)[:-1]])
-    within = (jnp.arange(p, dtype=jnp.int32)
-              - jnp.cumsum(counts)[pair_cluster] + counts[pair_cluster])
-    slot = offsets[pair_cluster] + within
+    # cumulative padding inserted BEFORE each cluster's run; broadcast
+    # down each run by a running max (it is non-decreasing), seeded at
+    # the run starts by an (m+1)-element scatter
+    cum_pad_before = offsets - starts[:m + 1]
+    pad_seed = jnp.zeros((p + 1,), jnp.int32).at[starts[:m + 1]].max(
+        jnp.maximum(cum_pad_before, 0))[:p]
+    slot = (jnp.arange(p, dtype=jnp.int32)
+            + jax.lax.cummax(pad_seed))
 
     cap = p + (m + 1) * (b - 1) + b
     cap = ((cap + b - 1) // b) * b
-    slot_ray = jnp.full((cap,), -1, jnp.int32).at[slot].set(pair_ray)
+    slot_ray = jnp.full((cap,), -1, jnp.int32).at[slot].set(
+        pair_ray, unique_indices=True, indices_are_sorted=True)
     nb = cap // b
     # block -> cluster: blocks of cluster m' span
     # [offsets[m']//b, offsets[m']//b + padded[m']//b)
@@ -297,7 +315,7 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
 
 
 def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
-                   k_max: int = 24):
+                   k_max: int = 48):
     """Drop-in raycast via binned traversal (scene.clusters required).
 
     Overflow rays (more than k_max cluster AABB hits) are re-resolved with
@@ -326,9 +344,11 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
         # full-scene chunked MT product is ~R*T work (5.4G products per
         # bounce on blob82k at 65k lanes) and used to run UNCONDITIONALLY
         # every raycast - the reason the mesh bench sat at ~13k paths/s.
-        # With k_max=24 the overflow rate is ~0 (0.0425 at k=8, 0.0005 at
-        # k=16, 0.0 at k=32 on blob82k camera rays), so the branch almost
-        # never executes.
+        # k_max must make overflow RARE IN EVERY BATCH, not just low-rate:
+        # any single overflowing lane fires the whole fallback for the
+        # iteration. Measured on blob82k INTERIOR rays (the bounce-ray
+        # regime): mean 5 cluster-AABB hits, p99 15, max 33 -> k=48 gives
+        # zero overflow with margin (camera rays: 4.25% at k=8).
         def fallback(args):
             h, bt, ix, uu, vv = args
             hit_f, t_f, idx_f, u_f, v_f = mt_closest_auto(
