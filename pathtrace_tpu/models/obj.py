@@ -164,12 +164,62 @@ def load_obj(path: str) -> ObjMesh:
                    face_mtl=face_mtl, materials=materials)
 
 
-def obj_to_arrays(mesh: ObjMesh, translation=(0, 0, 0), scale=1.0):
+def compose_model_matrix(translation=(0, 0, 0), scale=1.0, rotation=None):
+    """4x4 model matrix M = T @ R @ S (column-vector convention).
+
+    `rotation`: optional (3, 3) rotation (or any linear) matrix. `scale`
+    may be a scalar or per-axis (3,) vector.
+    """
+    m = np.eye(4, dtype=np.float64)
+    s = np.asarray(scale, np.float64) * np.ones(3)
+    m[:3, :3] = np.diag(s)
+    if rotation is not None:
+        m[:3, :3] = np.asarray(rotation, np.float64) @ m[:3, :3]
+    m[:3, 3] = np.asarray(translation, np.float64)
+    return m
+
+
+def rotation_matrix(axis, angle_rad: float) -> np.ndarray:
+    """(3, 3) rotation about `axis` by `angle_rad` (Rodrigues)."""
+    a = np.asarray(axis, np.float64)
+    a = a / np.linalg.norm(a)
+    k = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    return (np.eye(3) + np.sin(angle_rad) * k
+            + (1.0 - np.cos(angle_rad)) * (k @ k))
+
+
+def obj_to_arrays(mesh: ObjMesh, translation=(0, 0, 0), scale=1.0,
+                  model_matrix=None, normal_mode: str = "reference"):
     """World-space (T,3,3) positions/normals/uvs + per-tri Material, applying
-    the reference's model transform (BVH::AddModel, bvh.cpp:153-189: model
-    matrix applied to positions and normal-transformed N/T/B)."""
-    pos = mesh.vertices[mesh.faces] * scale + np.asarray(translation, np.float32)
-    normals = mesh.normals
+    the reference's model transform (BVH::AddModel, bvh.cpp:153-189).
+
+    `model_matrix`: optional full 4x4 (overrides translation/scale, which
+    remain as the common uniform-transform shorthand). Positions go
+    through the full affine map; shading normals through the matrix's
+    linear part. The reference multiplies N/T/B by the PLAIN model matrix
+    with w=0 (bvh.cpp:173-184), i.e. the linear part, NOT the
+    inverse-transpose - correct for rotations + uniform scale (after the
+    renormalization the interpolator performs) but skewed for non-uniform
+    scale. normal_mode="reference" reproduces that; "inverse_transpose"
+    applies the mathematically correct normal matrix for general affine
+    transforms. Both renormalize per vertex.
+    """
+    if model_matrix is None:
+        model_matrix = compose_model_matrix(translation, scale)
+    m = np.asarray(model_matrix, np.float64)
+    assert m.shape == (4, 4), m.shape
+    lin, trans = m[:3, :3], m[:3, 3]
+    pos = (mesh.vertices[mesh.faces] @ lin.T + trans).astype(np.float32)
+    if normal_mode == "reference":
+        nmat = lin
+    elif normal_mode == "inverse_transpose":
+        nmat = np.linalg.inv(lin).T
+    else:
+        raise ValueError(normal_mode)
+    normals = mesh.normals @ nmat.T
+    normals = (normals / np.maximum(
+        np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)).astype(
+            np.float32)
     t = pos.shape[0]
     mats = []
     for name in (mesh.face_mtl if mesh.face_mtl else [""] * t):
@@ -187,11 +237,14 @@ def obj_to_arrays(mesh: ObjMesh, translation=(0, 0, 0), scale=1.0):
 
 
 def load_obj_scene(path: str, translation=(0, 0, 0), scale=1.0,
-                   extra=None, build_bvh: bool = True) -> Scene:
+                   extra=None, build_bvh: bool = True,
+                   model_matrix=None, normal_mode: str = "reference") -> Scene:
     """Load an OBJ file as a full Scene (optionally merged with `extra`
     (positions, normals, Material) parts, e.g. a procedural room)."""
     mesh = load_obj(path)
-    pos, normals, uvs, mat = obj_to_arrays(mesh, translation, scale)
+    pos, normals, uvs, mat = obj_to_arrays(
+        mesh, translation, scale, model_matrix=model_matrix,
+        normal_mode=normal_mode)
     parts_p, parts_n, mats = [pos], [normals], [mat]
     if extra is not None:
         ep, en, em = extra
