@@ -235,8 +235,12 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
         f_pairs = f[safe_ray]                        # (G, B, 16)
         safe_cluster = jnp.minimum(bc, m - 1)
         tiles = coeffs_all[safe_cluster]             # (G, 16, C, 4)
+        # HIGHEST: default TPU matmul truncates f32 inputs to bf16, which
+        # breaks the accept tests' t-ordering (same class of bug as the
+        # bounce kernel's bf16 hi/lo split rationale, bounce_kernel.py)
         prods = jnp.einsum("nbf,nfcq->nbcq", f_pairs, tiles,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         det = prods[..., 0]
         t_num = prods[..., 1]
         u_num = prods[..., 2]

@@ -131,10 +131,21 @@ def mt_matmul_closest(coeffs: MTCoeffs, org: jnp.ndarray, dirn: jnp.ndarray,
     v_num >= 0, u_num + v_num <= det, t in [t_min, t_max].
     """
     f = ray_features(org, dirn)
-    det = jnp.dot(f, coeffs.det, preferred_element_type=jnp.float32)
-    t_num = jnp.dot(f, coeffs.t_num, preferred_element_type=jnp.float32)
-    u_num = jnp.dot(f, coeffs.u_num, preferred_element_type=jnp.float32)
-    v_num = jnp.dot(f, coeffs.v_num, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST is load-bearing: TPU matmuls truncate f32 INPUTS
+    # to bf16 by default (preferred_element_type only fixes the
+    # accumulator), and ~1e-3-relative products cannot order the
+    # reference scene's light 0.3%-of-t below the ceiling - NEE and
+    # emissive hits silently die and TPU renders come out ~4x dark
+    # (caught by docs/tpu_cpu_agreement.json; the fused kernel pays the
+    # same cost via its explicit bf16 hi/lo split, bounce_kernel.py).
+    det = jnp.dot(f, coeffs.det, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    t_num = jnp.dot(f, coeffs.t_num, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    u_num = jnp.dot(f, coeffs.u_num, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    v_num = jnp.dot(f, coeffs.v_num, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
 
     inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
     t = t_num * inv_det
@@ -245,10 +256,14 @@ def mt_matmul_closest_chunked(coeffs: MTCoeffs, org: jnp.ndarray,
     def body(carry, x):
         best_t, best_idx, best_u, best_v, base = carry
         det_m, tn_m, un_m, vn_m = x
-        det = jnp.dot(f, det_m, preferred_element_type=jnp.float32)
-        t_num = jnp.dot(f, tn_m, preferred_element_type=jnp.float32)
-        u_num = jnp.dot(f, un_m, preferred_element_type=jnp.float32)
-        v_num = jnp.dot(f, vn_m, preferred_element_type=jnp.float32)
+        det = jnp.dot(f, det_m, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        t_num = jnp.dot(f, tn_m, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        u_num = jnp.dot(f, un_m, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+        v_num = jnp.dot(f, vn_m, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
         inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
         t = t_num * inv_det
         valid = (det >= EPS)

@@ -34,7 +34,13 @@ GOLDEN = os.path.join(os.path.dirname(os.path.dirname(
 results = []
 
 
-def compare(name, img, golden_name):
+def compare(name, img, golden_name, min_agree=0.999,
+            max_mean_rel=1e-3):
+    """Thresholds default to the Cornell near-exact contract; the glass
+    scene passes looser ones (0.97 / 5e-3, matching test_golden.py's own
+    glass contract): refraction makes per-path transport chaotic, so
+    f32-rounding-level cross-backend differences amplify into isolated
+    pixel flips while the image statistics stay pinned."""
     ref = np.load(os.path.join(GOLDEN, golden_name))
     img = np.asarray(img)
     close = np.isclose(img, ref, rtol=5e-3, atol=5e-3)
@@ -44,8 +50,9 @@ def compare(name, img, golden_name):
         "pixel_agreement": float(close.mean()),
         "mean_rel_diff": float(abs(img.mean() - ref.mean()) / ref.mean()),
         "max_abs_diff": float(np.abs(img - ref).max()),
-        "ok": bool(close.mean() > 0.999
-                   and abs(img.mean() - ref.mean()) / ref.mean() < 1e-3),
+        "ok": bool(close.mean() > min_agree
+                   and abs(img.mean() - ref.mean()) / ref.mean()
+                   < max_mean_rel),
     }
     results.append(entry)
     print(entry, flush=True)
@@ -69,7 +76,7 @@ compare("tpu-fused", render_wavefront_fused(cornell, cam32, 8, key,
 glass = procedural.glass_scene().with_mt().to_device()
 cam24 = procedural.default_camera(24, 24)
 compare("tpu-megakernel-glass", render(glass, cam24, 8, rng.make_key(7)),
-        "glass_24x24_8spp_seed7.npy")
+        "glass_24x24_8spp_seed7.npy", min_agree=0.97, max_mean_rel=5e-3)
 
 out = {"device": dev, "results": results,
        "pass": all(r["ok"] for r in results)}
