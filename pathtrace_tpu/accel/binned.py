@@ -49,6 +49,9 @@ class ClusterArrays:
     coeffs: jnp.ndarray      # (M, 16, C, 4): det, t_num, u_num, v_num
     num_clusters: int
     cluster_cap: int         # C
+    # KD cells only (accel/kdgrid.py): member slot -> ORIGINAL tri id.
+    # None for BVH-subtree clusters (member order = reordered tris).
+    dup_map: jnp.ndarray = None
 
 
 def _subtree_prim_ranges(bvh: BVHArrays):
@@ -318,6 +321,323 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
             overflow)
 
 
+# ---------------------------------------------------------------------------
+# v2: Pallas pair-block dispatch (round 4)
+# ---------------------------------------------------------------------------
+
+def peel_hit_clusters(hit_m, k_max: int):
+    """(R, K) hit-cluster ids in ascending index order + valid mask.
+
+    Replaces lax.top_k, which XLA lowers to a FULL (R, M) sort_key_val
+    (traced at ~7 ms/call at 65k x 451 - tools/tpu_profile_mesh.py);
+    cluster visit order is irrelevant on a no-early-out machine, so K
+    cheap min-peel passes over the mask suffice.
+    """
+    r, m = hit_m.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, hit_m.shape, 1)
+    live = hit_m
+    idxs = []
+    for _ in range(k_max):
+        c = jnp.min(jnp.where(live, cols, m), axis=1)
+        idxs.append(c)
+        live = live & (cols != c[:, None])
+    idx = jnp.stack(idxs, axis=1)
+    return idx, idx < m
+
+
+def build_pair_dispatch(clusters: ClusterArrays, hit_m, tnear, k_max: int,
+                        block_pairs: int, cap_budget: int = None):
+    """Hit mask -> cluster-grouped pair dispatch for the Pallas kernel.
+
+    Returns a dict:
+      slot_ray    (cap,) i32   ray id per pair slot, -1 = dead slot
+      slot_of     (R, K) i32   inverse map: pair (r, k)'s slot, cap = dead
+      pair_valid  (R, K) bool  pair exists and was not capacity-dropped
+      block_cluster (nb,) i32  cluster per block, clamped to [0, M)
+      block_prim_start (nb,) i32  cluster's prim base, -1 = padding block
+      overflow    (R,) bool    ray needs the repair pass (k_max exceeded
+                               or pair slots beyond cap_budget dropped)
+
+    SORT-FREE, LOOKUP-FREE construction. Per-op tracing
+    (tools/tpu_profile_mesh.py) showed every p-sized routed op - the
+    packed-key sort, small-table gathers like offsets[pair_cluster], and
+    clustered-index scatters - costs 2-9 ms at p = R*K on this TPU, and
+    the dispatch glue dwarfed the actual search kernel (0.8 ms). This
+    construction touches only DENSE (R, M) math plus ONE well-mixed
+    scatter:
+
+      1. colrank[r, m] = # of hit rays r' <= r in column m, by
+         block-lower-triangular bf16 matmul (block-local counts <= 128
+         are bf16-exact) + an f32 inter-block carry;
+      2. every pair's slot is then ARITHMETIC: slot[r, m] = offsets[m] +
+         colrank[r, m] - 1, offsets from the padded per-cluster counts
+         (dense (M,) cumsum, broadcast - no gather);
+      3. a K-pass peel extracts each ray's hit clusters AND their slots
+         in ONE masked min-reduce per pass via a packed key
+         (col << 20 | slot, slot < 2^20 asserted);
+      4. slot_ray is ONE scatter whose flattened (r, k) index order
+         jumps between cluster runs - the well-mixed case (ascending
+         scatters serialize ~100x on TPU; see the probe history).
+    """
+    r, m = hit_m.shape
+    k_max = min(k_max, m)
+    b = block_pairs
+    if cap_budget is None:
+        cap_budget = 6 * r + m * b
+    cap = (cap_budget // b) * b
+    assert cap < (1 << 20), cap  # slot must fit the packed peel key
+
+    num_hit = jnp.sum(hit_m, axis=1)
+    overflow = num_hit > k_max
+
+    # --- colrank via block-triangular matmul
+    rb = 128
+    r_pad = -(-r // rb) * rb
+    h = hit_m
+    if r_pad != r:
+        h = jnp.pad(hit_m, ((0, r_pad - r), (0, 0)))
+    nbl = r_pad // rb
+    hb = h.reshape(nbl, rb, m).astype(jnp.bfloat16)
+    ltri = jnp.asarray(np.tril(np.ones((rb, rb), np.float32)),
+                       jnp.bfloat16)
+    local = jax.lax.dot_general(
+        ltri, hb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (rb, nbl, m)
+    local = local.transpose(1, 0, 2)                 # (nbl, rb, m)
+    btot = local[:, -1, :]                           # (nbl, m)
+    base = jnp.cumsum(btot, axis=0) - btot           # exclusive
+    colrank = (local + base[:, None, :]).reshape(r_pad, m)[:r]
+    colrank = colrank.astype(jnp.int32)              # inclusive rank
+
+    counts = jnp.sum(hit_m, axis=0)                  # (m,)
+    padded = ((counts + b - 1) // b) * b
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(padded)[:-1]])  # (m,)
+
+    # --- packed peel: (cluster, slot) per pass in one reduce
+    slot_dense = offsets[None, :] + colrank - 1      # (R, M)
+    cols = jax.lax.broadcasted_iota(jnp.int32, hit_m.shape, 1)
+    pack = (cols << 20) | jnp.minimum(slot_dense, (1 << 20) - 1)
+    sentinel = (m << 20)
+    live = hit_m
+    top_c, top_s = [], []
+    for _ in range(k_max):
+        got = jnp.min(jnp.where(live, pack, sentinel), axis=1)
+        c = got >> 20
+        top_c.append(c)
+        top_s.append(got & ((1 << 20) - 1))
+        live = live & (cols != c[:, None])
+    top_idx = jnp.stack(top_c, axis=1)               # (R, K)
+    slot_of = jnp.stack(top_s, axis=1)               # (R, K)
+    pair_valid = top_idx < m
+    dropped = pair_valid & (slot_of >= cap)
+    overflow = overflow | jnp.any(dropped, axis=1)
+    pair_valid = pair_valid & ~dropped
+    slot_of = jnp.where(pair_valid, slot_of, cap)
+
+    # --- slot_ray: one well-mixed scatter
+    ray_ids = jax.lax.broadcasted_iota(jnp.int32, (r, k_max), 0)
+    slot_ray = jnp.full((cap,), -1, jnp.int32).at[
+        slot_of.reshape(-1)].set(ray_ids.reshape(-1), mode="drop",
+                                 unique_indices=True)
+
+    nb = cap // b
+    block_ids = jnp.arange(nb, dtype=jnp.int32)
+    cum_pad_blocks = jnp.cumsum(padded // b)         # (m,)
+    block_cluster = jnp.searchsorted(cum_pad_blocks, block_ids,
+                                     side="right").astype(jnp.int32)
+    is_pad_block = block_cluster >= m
+    block_cluster = jnp.minimum(block_cluster, m - 1)
+    ps = jnp.asarray(clusters.prim_start)
+    block_prim_start = jnp.where(is_pad_block, -1, ps[block_cluster])
+    return dict(slot_ray=slot_ray, slot_of=slot_of, pair_valid=pair_valid,
+                block_cluster=block_cluster,
+                block_prim_start=block_prim_start, overflow=overflow)
+
+
+def raycast_binned_pallas(scene, org, dirn, t_min=0.0, t_max=None, *,
+                          k_max: int = 20, mode: str = "closest",
+                          exclude_gid=None, interpret=None,
+                          cap_budget=None):
+    """Closest-hit via the Pallas pair-block kernel (scene.pair_pack).
+
+    Returns (hit, t, gid, u, v, overflow) per ray - detached primal.
+    t_min/t_max may be python scalars (preferred: the meta rows become
+    broadcast constants instead of per-pair gathers) or (R,) arrays.
+    mode="shadow" skips the in-kernel exact recompute; `exclude_gid`
+    (R,) i32 masks one global tri per ray.
+    """
+    from pathtrace_tpu.accel.traverse import safe_inv_dir
+    from pathtrace_tpu.ops.intersect import BIG_T
+    from pathtrace_tpu.ops.mt_matmul import ray_features
+    from pathtrace_tpu.ops.pallas.pair_kernel import pair_blocks_search
+
+    clusters = scene.clusters
+    pack = scene.pair_pack
+    assert pack is not None, "scene has no pair_pack; Scene.with_binned()"
+    if interpret is None:
+        # Mosaic compiles only for TPU; CPU (tests, goldens) runs the
+        # kernel in interpret mode - same semantics, slow but exact
+        interpret = jax.default_backend() != "tpu"
+    if t_max is None:
+        t_max = BIG_T
+    r = org.shape[0]
+    c_cap = pack.cluster_cap
+    b = min(c_cap, 128)
+
+    tmin_arr = (jnp.full((r,), float(t_min), jnp.float32)
+                if jnp.ndim(t_min) == 0 else t_min)
+    tmax_arr = (jnp.full((r,), float(t_max), jnp.float32)
+                if jnp.ndim(t_max) == 0 else t_max)
+    inv_d = safe_inv_dir(dirn)
+    hit_m, tnear = _slab_all(org, inv_d, clusters.bmin, clusters.bmax,
+                             tmin_arr, tmax_arr)
+    disp = build_pair_dispatch(clusters, hit_m, tnear, k_max, b,
+                               cap_budget=cap_budget)
+    slot_ray = disp["slot_ray"]
+    cap = slot_ray.shape[0]
+
+    safe_ray = jnp.maximum(slot_ray, 0)
+    feats = ray_features(org, dirn)                      # (R, 16)
+    feats_t = feats[safe_ray].T                          # (16, cap)
+    rows = [slot_ray.astype(jnp.float32)]
+    for bound in (t_min, t_max):
+        rows.append(jnp.full((cap,), float(bound), jnp.float32)
+                    if jnp.ndim(bound) == 0 else bound[safe_ray])
+    rows.append(jnp.full((cap,), -1.0, jnp.float32) if exclude_gid is None
+                else exclude_gid.astype(jnp.float32)[safe_ray])
+    meta = jnp.stack(rows + [jnp.zeros((cap,), jnp.float32)] * 4, axis=0)
+
+    out = pair_blocks_search(pack, disp["block_cluster"],
+                             disp["block_prim_start"],
+                             feats_t, meta, c_cap=c_cap, block_pairs=b,
+                             mode=mode, interpret=interpret)
+
+    # dense (R, K) gather-back reduce: no scatter-min chains
+    out_t = out.T                                        # (cap, 8) rows
+    out_t = jnp.concatenate([out_t, jnp.zeros((1, 8), jnp.float32)], axis=0)
+    slot_of = jnp.where(disp["pair_valid"], disp["slot_of"], cap)
+    res = out_t[slot_of]                                 # (R, K, 8)
+    pv = disp["pair_valid"] & (res[..., 3] > 0.5)
+    t_rk = jnp.where(pv, res[..., 0], jnp.inf)
+    best_k = jnp.argmin(t_rk, axis=1)                    # (R,)
+    best_t = jnp.take_along_axis(t_rk, best_k[:, None], axis=1)[:, 0]
+    hit = jnp.isfinite(best_t)
+
+    def pick(j):
+        return jnp.take_along_axis(res[..., j], best_k[:, None], axis=1)[:, 0]
+
+    u = pick(1)
+    v = pick(2)
+    gid = pick(4).astype(jnp.int32)
+    if clusters.dup_map is not None:
+        dup = jnp.asarray(clusters.dup_map)
+        gid = dup[jnp.clip(gid, 0, dup.shape[0] - 1)]
+    return (hit, jnp.where(hit, best_t, 0.0), gid, u, v, disp["overflow"])
+
+
+REPAIR_CAP = 512
+
+
+def _overflow_repair(scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d):
+    """Re-resolve overflow rays exactly, capacity-bounded.
+
+    The v1 path re-ran the FULL-scene chunked MT product for the whole
+    batch whenever ANY lane overflowed (traced at ~295 ms/call at 65k
+    lanes on blob82k with overflow rate 1e-4). Here: gather up to
+    REPAIR_CAP overflow rays, brute them against the full scene
+    (REPAIR_CAP x T products - one chunk), scatter back. The full-batch
+    fallback remains only for > REPAIR_CAP overflows (pathological).
+    """
+    from pathtrace_tpu.ops.mt_matmul import mt_closest_auto
+
+    n_over = jnp.sum(overflow.astype(jnp.int32))
+
+    def repair(res):
+        idx = jnp.nonzero(overflow, size=REPAIR_CAP, fill_value=0)[0]
+        sel = overflow[idx]
+        ho, to, io, uo, vo = mt_closest_auto(
+            scene.mt, org_d[idx], dirn_d[idx], tmin_d[idx], tmax_d[idx])
+        h, t, i, u, v = res
+        def upd(a, b):
+            return a.at[idx].set(jnp.where(sel, b, a[idx]))
+        return (upd(h, ho), upd(t, to), upd(i, io), upd(u, uo), upd(v, vo))
+
+    def full(res):
+        hit_f, t_f, idx_f, u_f, v_f = mt_closest_auto(
+            scene.mt, org_d, dirn_d, tmin_d, tmax_d)
+        h, t, i, u, v = res
+        return (jnp.where(overflow, hit_f, h),
+                jnp.where(overflow, t_f, t),
+                jnp.where(overflow, idx_f, i),
+                jnp.where(overflow, u_f, u),
+                jnp.where(overflow, v_f, v))
+
+    res = jax.lax.cond(n_over > 0, repair, lambda a: a, res)
+    res = jax.lax.cond(n_over > REPAIR_CAP, full, lambda a: a, res)
+    return res
+
+
+def raycast_binned_v2(scene, org, dirn, t_min=None, t_max=None,
+                      k_max: int = 20):
+    """Drop-in raycast (HitRecord) through the Pallas pair-block kernel.
+
+    Bounded overflow repair + the differentiable-recompute tail of
+    raycast_binned."""
+    from pathtrace_tpu.ops.intersect import BIG_T, finalize_hit, mt_gather
+
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    hit, best_t, idx, u, v, overflow = raycast_binned_pallas(
+        scene, org_d, dirn_d, 0.0, BIG_T, k_max=k_max)
+
+    if scene.mt is not None:
+        zeros = jnp.zeros((r,), jnp.float32)
+        big = jnp.full((r,), BIG_T, jnp.float32)
+        hit, best_t, idx, u, v = _overflow_repair(
+            scene, (hit, best_t, idx, u, v), overflow, org_d, dirn_d,
+            zeros, big)
+
+    if t_min is None:
+        t_min = jnp.zeros((r,), jnp.float32)
+    if t_max is None:
+        t_max = jnp.full((r,), BIG_T, jnp.float32)
+    idx = jnp.minimum(jnp.maximum(idx, 0), scene.num_tris - 1)
+    t2, u2, v2, _ = mt_gather(scene.tris, idx, org, dirn, t_min,
+                              jnp.full_like(t_max, BIG_T))
+    best_t = jnp.where(hit, t2, best_t)
+    u = jnp.where(hit, u2, u)
+    v = jnp.where(hit, v2, v)
+    return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx, u, v)
+
+
+def shadow_binned_v2(scene, org, dirn, t_min, t_max, k_max: int = 20):
+    """Lean shadow backend: (hit, prim_id, is_sphere) via the pair kernel
+    in shadow mode (no exact recompute / attribute fetch - NEE only
+    identity-tests the winner, see megakernel.nee_contribution)."""
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
+    tmin_d = jax.lax.stop_gradient(t_min)
+    tmax_d = jax.lax.stop_gradient(t_max)
+    hit, tri_t, gid, _, _, overflow = raycast_binned_pallas(
+        scene, org_d, dirn_d, tmin_d, tmax_d, k_max=k_max, mode="shadow")
+
+    if scene.mt is not None:
+        res = (hit, tri_t, gid, jnp.zeros_like(tri_t), jnp.zeros_like(tri_t))
+        hit, tri_t, gid, _, _ = _overflow_repair(
+            scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d)
+    if scene.num_spheres:
+        from pathtrace_tpu.ops.intersect import (closest_masked,
+                                                 intersect_spheres_all)
+        s_hit, s_t, s_idx = intersect_spheres_all(scene.spheres, org, dirn,
+                                                  t_min, t_max)
+        sp_hit, sp_t, _ = closest_masked(s_hit, s_t, s_idx)
+        use_sph = sp_hit & (~hit | (sp_t < jnp.where(hit, tri_t, jnp.inf)))
+        return hit | sp_hit, gid, use_sph
+    return hit, gid, jnp.zeros_like(hit)
+
+
 def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
                    k_max: int = 48):
     """Drop-in raycast via binned traversal (scene.clusters required).
@@ -330,6 +650,8 @@ def raycast_binned(scene, org, dirn, t_min=None, t_max=None,
 
     clusters = scene.clusters
     assert clusters is not None, "scene has no clusters; Scene.with_binned()"
+    assert clusters.dup_map is None, \
+        "KD cells require the v2 path (raycast_binned_v2)"
     org_d = jax.lax.stop_gradient(org)
     dirn_d = jax.lax.stop_gradient(dirn)
     r = org.shape[0]

@@ -50,7 +50,11 @@ def _maybe_detach(x, cfg: IntegratorConfig):
 
 def default_raycast(scene: Scene):
     """Pick the best available intersection backend for this scene:
-    binned clusters > MXU-matmul coefficients > BVH traversal > brute."""
+    Pallas pair-block kernel > XLA binned clusters > MXU-matmul
+    coefficients > BVH traversal > brute."""
+    if scene.pair_pack is not None:
+        from pathtrace_tpu.accel.binned import raycast_binned_v2
+        return raycast_binned_v2
     if scene.clusters is not None:
         from pathtrace_tpu.accel.binned import raycast_binned
         return raycast_binned
@@ -72,6 +76,9 @@ def default_shadow_raycast(scene: Scene):
     interpolation of the primary raycast."""
     from pathtrace_tpu.ops.intersect import shadow_brute
 
+    if scene.pair_pack is not None:
+        from pathtrace_tpu.accel.binned import shadow_binned_v2
+        return shadow_binned_v2
     if scene.mt is not None and scene.clusters is None:
         from pathtrace_tpu.ops.mt_matmul import shadow_matmul
         return shadow_matmul

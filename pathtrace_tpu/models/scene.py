@@ -228,6 +228,7 @@ class Scene:
     bvh: object = None       # Optional[BVHArrays]
     mt: object = None        # Optional[MTCoeffs] - MXU-matmul intersection
     clusters: object = None  # Optional[ClusterArrays] - binned traversal
+    pair_pack: object = None  # Optional[PairPack] - Pallas pair kernel tiles
     # (L, 13) per-light geometry [v0 v1 v2 area geometric_normal], packed at
     # build time so NEE's area sampling gathers from a tiny (L,) table
     # instead of five one-hot matmuls over the full (T,) triangle arrays
@@ -324,4 +325,27 @@ class Scene:
             [np.asarray(scene.tris.v0), np.asarray(scene.tris.v1),
              np.asarray(scene.tris.v2)], axis=1)
         clusters = build_clusters(scene.bvh, positions, max_tris=max_tris)
-        return dataclasses.replace(scene, clusters=clusters)
+        from pathtrace_tpu.ops.pallas.pair_kernel import build_pair_pack
+        pack = build_pair_pack(clusters, positions)
+        return dataclasses.replace(scene, clusters=clusters, pair_pack=pack)
+
+    def with_kd_binned(self, max_tris: int = 256) -> "Scene":
+        """Non-overlapping KD spatial cells for the pair-block traversal
+        (accel/kdgrid.py) - bounded per-ray cluster membership even for
+        rays starting on dense surfaces, where BVH-subtree AABBs stack.
+        Implies with_mt() (overflow repair needs the exact coefficients).
+        """
+        import dataclasses
+        from pathtrace_tpu.accel.kdgrid import build_kd_clusters
+        from pathtrace_tpu.ops.pallas.pair_kernel import build_pair_pack
+
+        scene = self if self.mt is not None else self.with_mt()
+        positions = np.stack(
+            [np.asarray(scene.tris.v0), np.asarray(scene.tris.v1),
+             np.asarray(scene.tris.v2)], axis=1)
+        clusters, dup_map, dup_positions = build_kd_clusters(
+            positions, max_tris=max_tris)
+        clusters = dataclasses.replace(clusters,
+                                       dup_map=jnp.asarray(dup_map))
+        pack = build_pair_pack(clusters, dup_positions)
+        return dataclasses.replace(scene, clusters=clusters, pair_pack=pack)

@@ -132,89 +132,100 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
                  c_cap, mode):
     """One pair-block: search cluster bc[i] for B pairs.
 
-    meta rows: 0 tmin, 1 tmax (<0 marks an invalid/padding pair),
-    2 excluded global tri id (-1 none).
+    meta rows: 0 slot_ray (< 0 marks a dead slot), 1 tmin, 2 tmax,
+    3 excluded global tri id (-1 none).
     out rows: 0 t, 1 u, 2 v, 3 hit, 4 global tri id (f32; ids < 2^24).
+
+    Padding blocks (bps[i] < 0, the sorted invalid-run tail) skip all
+    compute via pl.when; their out block is garbage, masked downstream
+    by pair_valid / the slot_ray row.
     """
     i = pl.program_id(0)
     prim_start = bps_ref[i]
 
-    feats = f_ref[:]                                  # (16, B) f32
-    fh = feats.astype(jnp.bfloat16)
-    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
-    f48 = jnp.concatenate([fh, fl, fh], axis=0)       # (48, B)
+    @pl.when(prim_start >= 0)
+    def _():
+        feats = f_ref[:]                                  # (16, B) f32
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        f48 = jnp.concatenate([fh, fl, fh], axis=0)       # (48, B)
 
-    mtile = m_ref[0]                                  # (4C, 48) bf16
-    prods = jnp.dot(mtile, f48, preferred_element_type=jnp.float32)
-    det = prods[0 * c_cap:1 * c_cap]
-    t_num = prods[1 * c_cap:2 * c_cap]
-    u_num = prods[2 * c_cap:3 * c_cap]
-    v_num = prods[3 * c_cap:4 * c_cap]
+        mtile = m_ref[0]                                  # (4C, 48) bf16
+        prods = jnp.dot(mtile, f48, preferred_element_type=jnp.float32)
+        det = prods[0 * c_cap:1 * c_cap]
+        t_num = prods[1 * c_cap:2 * c_cap]
+        u_num = prods[2 * c_cap:3 * c_cap]
+        v_num = prods[3 * c_cap:4 * c_cap]
 
-    tmin = meta_ref[0:1]
-    tmax = meta_ref[1:2]
-    excl = meta_ref[2:3]
+        live = meta_ref[0:1] >= 0.0
+        tmin = meta_ref[1:2]
+        tmax = meta_ref[2:3]
+        excl = meta_ref[3:4]
 
-    sl = ACCEPT_SLACK
-    t = t_num / jnp.maximum(det, 1e-30)
-    band = sl * (1.0 + jnp.abs(t))
-    valid = (det >= EPS)
-    valid &= (t >= tmin - band) & (t <= tmax + band)
-    valid &= (u_num >= -sl * det) & (u_num <= det * (1.0 + sl))
-    valid &= (v_num >= -sl * det) & (u_num + v_num <= det * (1.0 + 2 * sl))
+        sl = ACCEPT_SLACK
+        t = t_num / jnp.maximum(det, 1e-30)
+        band = sl * (1.0 + jnp.abs(t))
+        valid = (det >= EPS) & live
+        valid &= (t >= tmin - band) & (t <= tmax + band)
+        valid &= (u_num >= -sl * det) & (u_num <= det * (1.0 + sl))
+        valid &= (v_num >= -sl * det) & (u_num + v_num <= det * (1.0 + 2 * sl))
 
-    tri_local = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
-    gid = (tri_local + prim_start).astype(jnp.float32)
-    valid &= gid != excl          # NEE light-identity exclusion
+        tri_local = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
+        gid = (tri_local + prim_start).astype(jnp.float32)
+        valid &= gid != excl          # NEE light-identity exclusion
 
-    t_masked = jnp.where(valid, t, BIG)
-    best = jnp.min(t_masked, axis=0, keepdims=True)   # (1, B)
-    arg = jnp.min(jnp.where(t_masked <= best, tri_local, c_cap),
-                  axis=0, keepdims=True)
-    arg = jnp.minimum(arg, c_cap - 1)
-    hit = best < BIG
+        t_masked = jnp.where(valid, t, BIG)
+        best = jnp.min(t_masked, axis=0, keepdims=True)   # (1, B)
+        arg = jnp.min(jnp.where(t_masked <= best, tri_local, c_cap),
+                      axis=0, keepdims=True)
+        arg = jnp.minimum(arg, c_cap - 1)
+        hit = best < BIG
 
-    zero = jnp.zeros_like(best)
-    if mode == "shadow":
-        t_out = jnp.where(hit, best, BIG)
-        u_out = zero
-        v_out = zero
-    else:
-        # exact recompute at the banded winner (gates the slack accepts)
-        oh = (tri_local == arg).astype(jnp.bfloat16)  # (C, B)
-        rows = jnp.dot(ah_ref[0], oh, preferred_element_type=jnp.float32)
-        rows += jnp.dot(am_ref[0], oh, preferred_element_type=jnp.float32)
-        rows += jnp.dot(al_ref[0], oh, preferred_element_type=jnp.float32)
-        v0 = rows[0:3]
-        e1 = rows[3:6]
-        e2 = rows[6:9]
-        org = feats[1:4]
-        dirn = feats[4:7]
-        tvec = org - v0
-        p = _cross3r(dirn, e2)
-        q = _cross3r(tvec, e1)
-        det_x = _dot3r(p, e1)
-        inv_det = jnp.where(jnp.abs(det_x) > TINY, 1.0 / det_x, 0.0)
-        t_x = _dot3r(q, e2) * inv_det
-        u_x = _dot3r(p, tvec)
-        v_x = _dot3r(q, dirn)
-        ok = (det_x >= EPS)
-        ok &= (t_x >= tmin) & (t_x <= tmax)
-        ok &= (u_x >= 0.0) & (u_x <= det_x)
-        ok &= (v_x >= 0.0) & (u_x + v_x <= det_x)
-        hit = hit & ok
-        t_out = jnp.where(hit, t_x, BIG)
-        u_out = jnp.where(hit, u_x * inv_det, 0.0)
-        v_out = jnp.where(hit, v_x * inv_det, 0.0)
+        zero = jnp.zeros_like(best)
+        if mode == "shadow":
+            t_out = jnp.where(hit, best, BIG)
+            u_out = zero
+            v_out = zero
+        else:
+            # exact recompute at the banded winner (gates slack accepts)
+            oh = (tri_local == arg).astype(jnp.bfloat16)  # (C, B)
+            rows = jnp.dot(ah_ref[0], oh, preferred_element_type=jnp.float32)
+            rows += jnp.dot(am_ref[0], oh, preferred_element_type=jnp.float32)
+            rows += jnp.dot(al_ref[0], oh, preferred_element_type=jnp.float32)
+            v0 = rows[0:3]
+            e1 = rows[3:6]
+            e2 = rows[6:9]
+            org = feats[1:4]
+            dirn = feats[4:7]
+            tvec = org - v0
+            p = _cross3r(dirn, e2)
+            q = _cross3r(tvec, e1)
+            det_x = _dot3r(p, e1)
+            inv_det = jnp.where(jnp.abs(det_x) > TINY, 1.0 / det_x, 0.0)
+            t_x = _dot3r(q, e2) * inv_det
+            u_x = _dot3r(p, tvec)
+            v_x = _dot3r(q, dirn)
+            ok = (det_x >= EPS)
+            ok &= (t_x >= tmin) & (t_x <= tmax)
+            ok &= (u_x >= 0.0) & (u_x <= det_x)
+            ok &= (v_x >= 0.0) & (u_x + v_x <= det_x)
+            hit = hit & ok
+            t_out = jnp.where(hit, t_x, BIG)
+            u_out = jnp.where(hit, u_x * inv_det, 0.0)
+            v_out = jnp.where(hit, v_x * inv_det, 0.0)
 
-    gid_win = jnp.sum(jnp.where(tri_local == arg, gid, 0.0), axis=0,
-                      keepdims=True)
-    out_ref[0:1] = t_out
-    out_ref[1:2] = u_out
-    out_ref[2:3] = v_out
-    out_ref[3:4] = hit.astype(jnp.float32)
-    out_ref[4:5] = gid_win
-    out_ref[5:8] = jnp.zeros((3,) + best.shape[1:], jnp.float32)
+        gid_win = jnp.sum(jnp.where(tri_local == arg, gid, 0.0), axis=0,
+                          keepdims=True)
+        out_ref[0:1] = t_out
+        out_ref[1:2] = u_out
+        out_ref[2:3] = v_out
+        out_ref[3:4] = hit.astype(jnp.float32)
+        out_ref[4:5] = gid_win
+        out_ref[5:8] = jnp.zeros((3,) + best.shape[1:], jnp.float32)
+
+    @pl.when(prim_start < 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "block_pairs", "mode",
