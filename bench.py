@@ -41,8 +41,8 @@ def main():
 
     if which == "mesh":
         # the committed 82k-tri OBJ asset through the OBJ/MTL loader and
-        # the binned two-level traversal (assets/blob82k.obj)
-        scene = procedural.blob_mesh_scene().with_binned()
+        # the KD-cell Pallas pair-block traversal (assets/blob82k.obj)
+        scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=512)
     elif which == "glass":
         scene = procedural.glass_scene().with_mt()
     else:

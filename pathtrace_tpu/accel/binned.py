@@ -456,7 +456,7 @@ def build_pair_dispatch(clusters: ClusterArrays, hit_m, tnear, k_max: int,
 
 
 def raycast_binned_pallas(scene, org, dirn, t_min=0.0, t_max=None, *,
-                          k_max: int = 20, mode: str = "closest",
+                          k_max: int = 16, mode: str = "closest",
                           exclude_gid=None, interpret=None,
                           cap_budget=None):
     """Closest-hit via the Pallas pair-block kernel (scene.pair_pack).
@@ -579,7 +579,7 @@ def _overflow_repair(scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d):
 
 
 def raycast_binned_v2(scene, org, dirn, t_min=None, t_max=None,
-                      k_max: int = 20):
+                      k_max: int = 16):
     """Drop-in raycast (HitRecord) through the Pallas pair-block kernel.
 
     Bounded overflow repair + the differentiable-recompute tail of
@@ -612,7 +612,7 @@ def raycast_binned_v2(scene, org, dirn, t_min=None, t_max=None,
     return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx, u, v)
 
 
-def shadow_binned_v2(scene, org, dirn, t_min, t_max, k_max: int = 20):
+def shadow_binned_v2(scene, org, dirn, t_min, t_max, k_max: int = 16):
     """Lean shadow backend: (hit, prim_id, is_sphere) via the pair kernel
     in shadow mode (no exact recompute / attribute fetch - NEE only
     identity-tests the winner, see megakernel.nee_contribution)."""
