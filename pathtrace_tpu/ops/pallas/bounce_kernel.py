@@ -366,7 +366,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
                    sf_out, si_out, *,
                    cfg, t_pad, num_spheres, num_lights,
                    lanes_total, num_pix, width, height, k_pix, block_l,
-                   g_inner=1, ablate=frozenset()):
+                   num_pix_total=None, g_inner=1, ablate=frozenset()):
     """ablate: profiling-only section kill switches ("raycast", "fetch",
     "nee", "bsdf", "spheres", "rng", "regen") - each replaces a section
     with cheap placeholder values so its cost can be measured by
@@ -412,6 +412,22 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
     k1 = key_ref[0, 1]
     base_path = misc_ref[0, 0]
     total_paths = misc_ref[0, 1]
+    pix_offset = misc_ref[0, 2]   # sharded: this chip's first pixel
+
+    # Sharded pools enumerate LOCAL path ids (sample * num_pix + local
+    # pixel) for lane striding, but RNG streams and camera rays must be
+    # keyed by the GLOBAL path id so an N-chip render is path-for-path
+    # identical to the 1-chip render (same contract as the wavefront's
+    # _make_to_global). num_pix/num_pix_total are static; pix_offset
+    # rides misc. Unsharded (num_pix_total == num_pix, offset 0) this
+    # reduces to the identity.
+    npt = num_pix if num_pix_total is None else num_pix_total
+
+    def to_global(local_ids):
+        if npt == num_pix:
+            return local_ids
+        return ((local_ids // num_pix) * npt + pix_offset
+                + jnp.remainder(local_ids, num_pix))
 
     carry0 = (sf_ref[0:3],                      # org
               sf_ref[3:6],                      # dirn
@@ -436,7 +452,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         if "rng" in ablate:
             u = [zeros1 + 0.5] * 8
         else:
-            u = _draws8(ray_ids, lane_iter, k0, k1)
+            u = _draws8(to_global(ray_ids), lane_iter, k0, k1)
 
         tmin = zeros1
         tmax = zeros1 + BIG_T
@@ -694,10 +710,10 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         if "regen" in ablate:
             regen = regen & (zeros1 > 1.0)
         new_safe = jnp.where(regen, new_idx, 0)
-        pixel = jnp.remainder(new_safe, num_pix)
+        pixel = jnp.remainder(new_safe, num_pix) + pix_offset  # GLOBAL px
         px = jnp.remainder(pixel, width).astype(jnp.float32)
         py = (pixel // width).astype(jnp.float32)
-        jx, jy = _jitter2(new_safe, k0, k1)
+        jx, jy = _jitter2(to_global(new_safe), k0, k1)
         sx = 2.0 * ((px + jx) / (width - 1) - 0.5)
         sy = 2.0 * ((py + jy) / (height - 1) - 0.5)
         cam = [cam_ref[0, j] for j in range(14)]
@@ -746,11 +762,13 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "lanes", "k_pix", "width", "height",
-                              "block_r", "interpret", "ablate", "g_inner"))
+                              "block_r", "interpret", "ablate", "g_inner",
+                              "num_pix_local", "num_pix_total"))
 def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
                       cfg, lanes, k_pix, width, height,
                       block_r: int = 2048, interpret: bool = False,
-                      ablate: frozenset = frozenset(), g_inner: int = 1):
+                      ablate: frozenset = frozenset(), g_inner: int = 1,
+                      num_pix_local=None, num_pix_total=None):
     """g_inner wavefront iterations over all lanes. State rows in, state
     rows out; the per-lane ray count accumulates in sf's LAST row.
 
@@ -781,15 +799,16 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
         _bounce_kernel, cfg=cfg, t_pad=t_pad,
         num_spheres=0 if "spheres" in ablate else pack.num_spheres,
         num_lights=pack.num_lights,
-        lanes_total=lanes, num_pix=width * height, width=width,
-        height=height, k_pix=k_pix, block_l=block_l, g_inner=g_inner,
-        ablate=ablate)
+        lanes_total=lanes,
+        num_pix=(width * height if num_pix_local is None else num_pix_local),
+        width=width, height=height, k_pix=k_pix, block_l=block_l,
+        num_pix_total=num_pix_total, g_inner=g_inner, ablate=ablate)
 
     sf2, si2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            smem((1, 2)),                      # misc i32
+            smem((1, 4)),                      # misc i32 [base, total, pix_offset, pad]
             smem((1, 2)),                      # key u32
             smem((1, 16)),                     # camera f32
             smem(pack.spheres.shape),          # spheres f32
@@ -831,17 +850,20 @@ def _cam16(camera) -> jnp.ndarray:
     return jnp.asarray(row)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "lanes", "k_pix",
-                                             "width", "height", "block_r",
-                                             "interpret", "g_inner"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "lanes", "k_pix", "width", "height", "block_r", "interpret",
+    "g_inner", "num_pix_local", "num_pix_total"))
 def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
-               k_pix, width, height, block_r, interpret, g_inner=8):
-    num_pix = width * height
+               k_pix, width, height, block_r, interpret, g_inner=8,
+               num_pix_local=None, num_pix_total=None, pix_offset=0):
+    num_pix = width * height if num_pix_local is None else num_pix_local
     lanes_l = lanes // 8
     spp = jnp.asarray(spp, jnp.int32)
     base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
     total_paths = num_pix * spp
-    misc = jnp.stack([base_path, total_paths])[None, :]
+    misc = jnp.stack([base_path, total_paths,
+                      jnp.asarray(pix_offset, jnp.int32),
+                      jnp.zeros_like(base_path)])[None, :]
     key2 = jnp.stack([base_key[0], base_key[1]])[None, :]
 
     # All lanes start DEAD with ray_ids one stride behind their first
@@ -871,7 +893,8 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
         return fused_bounce_step(
             pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=lanes,
             k_pix=k_pix, width=width, height=height, block_r=block_r,
-            interpret=interpret, g_inner=g_inner)
+            interpret=interpret, g_inner=g_inner,
+            num_pix_local=num_pix_local, num_pix_total=num_pix_total)
 
     sf, si = jax.lax.while_loop(cond, body, (sf, si))
     rays = jnp.sum(sf[12 + 3 * k_pix])
@@ -884,6 +907,10 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
     else:
         film_pix = film.reshape(k_pix, 3, lanes).transpose(0, 2, 1)
         film_pix = film_pix.reshape(k_pix * lanes, 3)   # pixel = k*lanes + i
+    if num_pix_local is not None:
+        # sharded slice: flat (num_pix_local, 3) film, assembled by the
+        # shard_map caller (parallel/mesh.render_fused_sharded)
+        return film_pix.reshape(num_pix, 3) / spp.astype(jnp.float32), rays
     img = film_pix.reshape(height, width, 3) / spp.astype(jnp.float32)
     return img, rays
 

@@ -177,6 +177,70 @@ def render_wavefront_sharded(scene: Scene, camera: Camera, spp, base_key,
     return film.reshape(camera.height, camera.width, 3), rays[0]
 
 
+def render_fused_sharded(scene: Scene, camera: Camera, spp, base_key,
+                         mesh: Mesh,
+                         cfg: IntegratorConfig = IntegratorConfig(),
+                         lanes: int = 65536, sample_offset=0,
+                         block_r: int = 2048, interpret: bool = False,
+                         g_inner: int = 8, pack=None):
+    """The FUSED Pallas bounce engine sharded over the mesh: each chip
+    owns a contiguous pixel slice and a private lane pool; RNG streams
+    and camera rays are keyed by GLOBAL path id inside the kernel
+    (bounce_kernel to_global), so the N-chip render is path-for-path
+    identical to the 1-chip render. No communication except the rays
+    psum. Returns ((H, W, 3) image, total rays).
+
+    Host-side wrapper (the scene pack is built with numpy); the sharded
+    program itself is jitted in _render_fused_sharded_jit.
+    """
+    from pathtrace_tpu.ops.pallas.bounce_kernel import (_cam16,
+                                                        build_fused_pack)
+
+    if pack is None:
+        pack = build_fused_pack(scene)
+    cam16 = _cam16(camera)
+    return _render_fused_sharded_jit(
+        pack, cam16, jnp.asarray(spp, jnp.int32),
+        jnp.asarray(sample_offset, jnp.int32), base_key,
+        camera.width, camera.height, cfg=cfg, mesh=mesh, lanes=lanes,
+        block_r=block_r, interpret=interpret, g_inner=g_inner)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cfg", "mesh",
+                                   "lanes", "block_r", "interpret",
+                                   "g_inner"))
+def _render_fused_sharded_jit(pack, cam16, spp, sample_offset, base_key,
+                              width, height, *, cfg, mesh, lanes, block_r,
+                              interpret, g_inner):
+    from pathtrace_tpu.ops.pallas.bounce_kernel import _run_fused
+
+    num_pix = width * height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0, (num_pix, n_dev)
+    assert lanes % n_dev == 0, (lanes, n_dev)
+    np_local = num_pix // n_dev
+    lanes_local = lanes // n_dev
+    assert (lanes_local % np_local == 0 or np_local % lanes_local == 0), \
+        (lanes_local, np_local)
+    k_pix = max(1, np_local // lanes_local)
+
+    def shard_body(pk, cam_row):
+        i = jax.lax.axis_index(RAY_AXIS)
+        film, nrays = _run_fused(
+            pk, cam_row, base_key, spp, sample_offset, cfg=cfg,
+            lanes=lanes_local, k_pix=k_pix, width=width,
+            height=height, block_r=min(block_r, lanes_local),
+            interpret=interpret, g_inner=g_inner,
+            num_pix_local=np_local, num_pix_total=num_pix,
+            pix_offset=i * np_local)
+        return film, jax.lax.psum(nrays[None], RAY_AXIS)
+
+    film, rays = jax.shard_map(
+        shard_body, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(RAY_AXIS), P()), check_vma=False)(pack, cam16)
+    return film.reshape(height, width, 3), rays[0]
+
+
 @partial(jax.jit, static_argnames=("spp", "cfg", "mesh"))
 def train_step_replay_sharded(scene: Scene, camera: Camera, target, spp: int,
                               base_key, mesh: Mesh,

@@ -38,7 +38,8 @@ key = rng.make_key(0)
 
 k_pix = max(1, (W * H) // LANES)
 sf_rows = 13 + 3 * k_pix  # incl. rays-accumulator row
-misc = jnp.stack([jnp.int32(0), jnp.int32(W * H * 64)])[None, :]
+misc = jnp.stack([jnp.int32(0), jnp.int32(W * H * 64),
+                  jnp.int32(0), jnp.int32(0)])[None, :]
 key2 = jnp.stack([key[0], key[1]])[None, :]
 cam16 = _cam16(camera)
 
