@@ -429,24 +429,27 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         return ((local_ids // num_pix) * npt + pix_offset
                 + jnp.remainder(local_ids, num_pix))
 
+    # si row 0 is a PACKED bitfield (alive 1b | refracted 1b | depth 6b |
+    # refract_cnt 6b | lane_iter 12b): the identity-body ablation showed
+    # the per-iteration floor scales with state rows touched, so the five
+    # small counters share one row (4 rows saved of 22).
     carry0 = (sf_ref[0:3],                      # org
               sf_ref[3:6],                      # dirn
               sf_ref[6:9],                      # radiance
               sf_ref[9:12],                     # weight
               sf_ref[12:12 + 3 * k_pix],        # film
               sf_ref[12 + 3 * k_pix:13 + 3 * k_pix],  # rays accumulator
-              si_ref[0:1],                      # depth
-              si_ref[1:2],                      # refract_cnt
-              si_ref[2:3],                      # refracted (i32)
-              si_ref[3:4],                      # alive (i32)
-              si_ref[4:5],                      # ray_ids
-              si_ref[5:6])                      # lane_iter
+              si_ref[0:1],                      # flags bitfield
+              si_ref[1:2])                      # ray_ids
 
     def one_bounce(carry):
-        (org, dirn, radiance, weight, film, rays_acc, depth, refract_cnt,
-         refracted_i, alive_i, ray_ids, lane_iter) = carry
-        refracted = refracted_i != 0
-        alive = alive_i != 0
+        (org, dirn, radiance, weight, film, rays_acc, flags,
+         ray_ids) = carry
+        alive = (flags & 1) != 0
+        refracted = (flags & 2) != 0
+        depth = (flags >> 2) & 63
+        refract_cnt = (flags >> 8) & 63
+        lane_iter = (flags >> 14) & 4095
 
         zeros1 = jnp.zeros_like(depth).astype(jnp.float32)
         if "rng" in ablate:
@@ -735,29 +738,54 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
         ray_ids = jnp.where(regen, new_safe, ray_ids)
         lane_iter = jnp.where(regen, 0, lane_iter + 1)
 
-        return (org, dirn, radiance, weight, film, rays_acc, depth,
-                refract_cnt, refracted.astype(jnp.int32),
-                alive_next.astype(jnp.int32), ray_ids, lane_iter)
+        flags_out = (alive_next.astype(jnp.int32)
+                     | (refracted.astype(jnp.int32) << 1)
+                     | (depth << 2) | (refract_cnt << 8)
+                     | (lane_iter << 14))
+        return (org, dirn, radiance, weight, film, rays_acc, flags_out,
+                ray_ids)
+
+    if "body" in ablate:
+        # identity bounce: isolates the pure state-DMA + loop floor from
+        # the in-body connective tissue (pan/unpan relayouts, selects)
+        one_bounce_fn = lambda c: tuple(x + 0 for x in c)
+    else:
+        one_bounce_fn = one_bounce
+
+    def store(out):
+        (org, dirn, radiance, weight, film, rays_acc, flags,
+         ray_ids) = out
+        sf_out[0:3] = org
+        sf_out[3:6] = dirn
+        sf_out[6:9] = radiance
+        sf_out[9:12] = weight
+        sf_out[12:12 + 3 * k_pix] = film
+        sf_out[12 + 3 * k_pix:13 + 3 * k_pix] = rays_acc
+        si_out[0:1] = flags
+        si_out[1:2] = ray_ids
 
     if g_inner == 1:
-        out = one_bounce(carry0)
+        store(one_bounce_fn(carry0))
     else:
-        out = jax.lax.fori_loop(0, g_inner, lambda _, c: one_bounce(c),
-                                carry0)
-    (org, dirn, radiance, weight, film, rays_acc, depth, refract_cnt,
-     refracted_i, alive_i, ray_ids, lane_iter) = out
-    sf_out[0:3] = org
-    sf_out[3:6] = dirn
-    sf_out[6:9] = radiance
-    sf_out[9:12] = weight
-    sf_out[12:12 + 3 * k_pix] = film
-    sf_out[12 + 3 * k_pix:13 + 3 * k_pix] = rays_acc
-    si_out[0:1] = depth
-    si_out[1:2] = refract_cnt
-    si_out[2:3] = refracted_i
-    si_out[3:4] = alive_i
-    si_out[4:5] = ray_ids
-    si_out[5:6] = lane_iter
+        # STATEFUL inner loop: a functional fori_loop carry of the 22
+        # state rows made Mosaic copy the whole tuple every iteration -
+        # an identity body alone measured 148 us/iter at 65536 lanes
+        # (tools/fused_ablate.py "body" ablation), 55% of the full
+        # iteration. Mutating the OUT refs in place (read rows -> compute
+        # -> store rows, carry=None) removes the copies.
+        store(one_bounce_fn(carry0))
+
+        def load():
+            return (sf_out[0:3], sf_out[3:6], sf_out[6:9], sf_out[9:12],
+                    sf_out[12:12 + 3 * k_pix],
+                    sf_out[12 + 3 * k_pix:13 + 3 * k_pix],
+                    si_out[0:1], si_out[1:2])
+
+        def body(_, token):
+            store(one_bounce_fn(load()))
+            return token
+
+        jax.lax.fori_loop(1, g_inner, body, 0)
 
 
 @functools.partial(
@@ -818,12 +846,12 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
             rep((ATTR_ROWS, t_pad)),           # attrs mid
             rep((ATTR_ROWS, t_pad)),           # attrs lo
             rowblk(sf_rows),                   # state f32 (+rays row)
-            rowblk(6),                         # state i32
+            rowblk(2),                         # state i32 [flags, ray_ids]
         ],
-        out_specs=[rowblk(sf_rows), rowblk(6)],
+        out_specs=[rowblk(sf_rows), rowblk(2)],
         out_shape=[
             jax.ShapeDtypeStruct((sf_rows, 8, lanes_l), jnp.float32),
-            jax.ShapeDtypeStruct((6, 8, lanes_l), jnp.int32),
+            jax.ShapeDtypeStruct((2, 8, lanes_l), jnp.int32),
         ],
         # NOTE: input_output_aliases={9: 0, 10: 1} was measured ~1.8x
         # SLOWER here (590 vs 323 us/iter at 65536 lanes) - XLA inserts
@@ -875,13 +903,13 @@ def _run_fused(pack, cam16, base_key, spp, sample_offset, *, cfg, lanes,
     sf_rows = 13 + 3 * k_pix
     sf = jnp.zeros((sf_rows, 8, lanes_l), jnp.float32)
     sf = sf.at[3:5].set(1.0)  # nonzero dir placeholder for dead lanes
-    si = jnp.zeros((6, 8, lanes_l), jnp.int32)
-    si = si.at[4].set(base_path + local0 - lanes)
+    si = jnp.zeros((2, 8, lanes_l), jnp.int32)
+    si = si.at[1].set(base_path + local0 - lanes)
 
     def cond(state):
         _, si_c = state
-        pool_left = jnp.any(si_c[4] + lanes - base_path < total_paths)
-        return jnp.any(si_c[3] != 0) | pool_left
+        pool_left = jnp.any(si_c[1] + lanes - base_path < total_paths)
+        return jnp.any((si_c[0] & 1) != 0) | pool_left
 
     def body(state):
         # g_inner bounce iterations run INSIDE one kernel call (see

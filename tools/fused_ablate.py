@@ -27,6 +27,7 @@ from pathtrace_tpu.utils import rng
 LANES = int(os.environ.get("MB_LANES", 65536))
 ITERS = int(os.environ.get("MB_ITERS", 200))
 BLOCK_R = int(os.environ.get("MB_BLOCK_R", 2048))
+GINNER = int(os.environ.get("MB_GINNER", 1))
 W = H = 256
 
 scene = procedural.cornell_box_scene(include_spheres=True).with_mt()
@@ -47,7 +48,7 @@ LANES_L = LANES // 8
 local0 = jnp.arange(LANES, dtype=jnp.int32).reshape(8, LANES_L)
 sf = jnp.zeros((sf_rows, 8, LANES_L), jnp.float32).at[4].set(-1.0)
 sf = sf.at[9:12].set(1.0)
-si = jnp.zeros((6, 8, LANES_L), jnp.int32).at[3].set(1).at[4].set(local0)
+si = jnp.zeros((2, 8, LANES_L), jnp.int32).at[0].set(1).at[1].set(local0)
 
 import functools
 
@@ -60,7 +61,7 @@ def timed(ablate):
             sf_n, si_n = fused_bounce_step(
                 pack, misc, key2, cam16, sf_c, si_c, cfg=cfg, lanes=LANES,
                 k_pix=k_pix, width=W, height=H, block_r=BLOCK_R,
-                ablate=frozenset(ablate))
+                g_inner=GINNER, ablate=frozenset(ablate))
             return sf_n, si_n, r
         return jax.lax.fori_loop(0, ITERS, body,
                                  (sf, si, jnp.zeros((), jnp.float32)))
@@ -70,14 +71,14 @@ def timed(ablate):
     t0 = time.perf_counter()
     out = loop_steps(sf, si)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS * 1e6
+    return (time.perf_counter() - t0) / (ITERS * GINNER) * 1e6
 
 
 base = timed(())
 print(f"{'full':>22}: {base:8.1f} us/iter  (t_pad={pack.t_pad}, "
       f"lanes={LANES}, block_r={BLOCK_R})", flush=True)
 for ab in (("rng",), ("raycast",), ("fetch",), ("mtexact",), ("nee",),
-           ("bsdf",), ("spheres",), ("regen",),
+           ("bsdf",), ("spheres",), ("regen",), ("body",),
            ("raycast", "fetch", "mtexact", "nee", "bsdf", "spheres",
             "regen", "rng")):
     us = timed(ab)
