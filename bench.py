@@ -73,7 +73,7 @@ def main():
         from pathtrace_tpu.ops.pallas.bounce_kernel import (
             build_fused_pack, render_wavefront_fused)
         block_r = int(os.environ.get("BENCH_BLOCK_R", 2048))
-        g_inner = int(os.environ.get("BENCH_GINNER", 8))
+        g_inner = int(os.environ.get("BENCH_GINNER", 12))
         pack = build_fused_pack(scene)
         run = lambda n, c: render_wavefront_fused(
             scene, camera, n, key, cfg, lanes, chunk_spp=c,

@@ -52,8 +52,8 @@ cfg = IntegratorConfig()
 key = rng.make_key(11)
 
 # --- 1. replay vs scan-AD grads, both on TPU
-g_tri_r, g_sph_r, img_r = material_grads_replay(scene, cam, 8, key, cfg)
-g_tri_s, g_sph_s, img_s = material_grads(scene, cam, 8, key, cfg)
+g_tri_r, g_sph_r, img_r = material_grads_replay(scene, cam, 8, key, cfg=cfg)
+g_tri_s, g_sph_s, img_s = material_grads(scene, cam, 8, key, cfg=cfg)
 jax.block_until_ready((g_tri_r, g_tri_s))
 
 
