@@ -514,26 +514,31 @@ def raycast_binned_pallas(scene, org, dirn, t_min=0.0, t_max=None, *,
                              mode=mode, interpret=interpret)
 
     # dense (R, K) gather-back reduce: no scatter-min chains
-    out_t = out.T                                        # (cap, 8) rows
-    out_t = jnp.concatenate([out_t, jnp.zeros((1, 8), jnp.float32)], axis=0)
+    # gather-back only the 4 rows the reduce consumes (t, u+v packed is
+    # not worth it, but halving the row width halves the dominant
+    # (R, K, rows) gather's traffic: kernel rows 0 t, 1 u, 2 v, 3 hit,
+    # 4 gid -> u/v are recomputed differentiably by the caller's
+    # mt_gather tail, so fetch [t, hit, gid, pad])
+    out_t = out[jnp.array([0, 3, 4, 5])].T               # (cap, 4) rows
+    out_t = jnp.concatenate([out_t, jnp.zeros((1, 4), jnp.float32)], axis=0)
     slot_of = jnp.where(disp["pair_valid"], disp["slot_of"], cap)
-    res = out_t[slot_of]                                 # (R, K, 8)
-    pv = disp["pair_valid"] & (res[..., 3] > 0.5)
+    res = out_t[slot_of]                                 # (R, K, 4)
+    pv = disp["pair_valid"] & (res[..., 1] > 0.5)
     t_rk = jnp.where(pv, res[..., 0], jnp.inf)
     best_k = jnp.argmin(t_rk, axis=1)                    # (R,)
     best_t = jnp.take_along_axis(t_rk, best_k[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(best_t)
 
-    def pick(j):
-        return jnp.take_along_axis(res[..., j], best_k[:, None], axis=1)[:, 0]
-
-    u = pick(1)
-    v = pick(2)
-    gid = pick(4).astype(jnp.int32)
+    gid = jnp.take_along_axis(res[..., 2], best_k[:, None],
+                              axis=1)[:, 0].astype(jnp.int32)
     if clusters.dup_map is not None:
         dup = jnp.asarray(clusters.dup_map)
         gid = dup[jnp.clip(gid, 0, dup.shape[0] - 1)]
-    return (hit, jnp.where(hit, best_t, 0.0), gid, u, v, disp["overflow"])
+    # u/v placeholders: every consumer (raycast_binned_v2 / shadow) either
+    # recomputes them differentiably at gid (mt_gather) or ignores them
+    zeros = jnp.zeros_like(best_t)
+    return (hit, jnp.where(hit, best_t, 0.0), gid, zeros, zeros,
+            disp["overflow"])
 
 
 REPAIR_CAP = 512

@@ -52,24 +52,27 @@ def test_pair_kernel_matches_brute(scene):
     assert same.mean() > 0.995
 
 
-def test_pair_kernel_uv_match_xla_binned(scene):
+def test_pair_kernel_matches_xla_binned(scene):
+    """t and winning prim agree with the XLA binned path (u/v are
+    placeholder zeros in the lean gather-back; raycast_binned_v2
+    recomputes them differentiably at gid via mt_gather)."""
     org, d = _rays(256, 3)
     r = org.shape[0]
     t_min = jnp.zeros((r,), jnp.float32)
     t_max = jnp.full((r,), 999999.0, jnp.float32)
-    xh, xt, xi, xu, xv, _ = binned.raycast_binned_closest(
-        scene.clusters, org, d, t_min, t_max, k_max=16)
-    hit, t, gid, u, v, _ = _pallas_closest(scene, org, d)
-    agree = np.asarray(xh) == np.asarray(hit)
+    xh, xt, xi, xu, xv, xo = binned.raycast_binned_closest(
+        scene.clusters, org, d, t_min, t_max, k_max=48)
+    assert np.asarray(xo).mean() == 0.0
+    hit, t, gid, _, _, vo = _pallas_closest(scene, org, d)
+    ok = ~np.asarray(vo)   # overflow rays are repaired one level up
+    agree = (np.asarray(xh) == np.asarray(hit))[ok]
     assert agree.mean() > 0.995
-    both = np.asarray(xh) & np.asarray(hit) & agree
+    both = (np.asarray(xh) & np.asarray(hit) & (np.asarray(xh)
+            == np.asarray(hit))) & ok
+    np.testing.assert_allclose(np.asarray(xt)[both], np.asarray(t)[both],
+                               rtol=1e-4, atol=1e-3)
     same_prim = np.asarray(xi)[both] == np.asarray(gid)[both]
-    np.testing.assert_allclose(np.asarray(xu)[both][same_prim],
-                               np.asarray(u)[both][same_prim],
-                               rtol=1e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(xv)[both][same_prim],
-                               np.asarray(v)[both][same_prim],
-                               rtol=1e-3, atol=1e-3)
+    assert same_prim.mean() > 0.995
 
 
 def test_raycast_binned_v2_hitrecord(scene):
