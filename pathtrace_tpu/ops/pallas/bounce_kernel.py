@@ -70,21 +70,41 @@ _A_B0, _A_B1, _A_B2 = 27, 30, 33
 _A_EMIT, _A_ALB, _A_SPEC = 36, 39, 42
 _A_OPAC, _A_ROUGH, _A_METAL = 45, 46, 47
 
+# FLAT-SHADING pack (24 rows): scenes whose triangles have constant
+# per-tri normals AND tangent frames derived from them (the procedural
+# demo scenes - no UVs, tangent_frame_from_normals) need neither the
+# 9-row interpolated normal set nor the 18 tangent/bitangent rows: the
+# kernel re-derives the frame from ONE normal row in-registers, exactly
+# (derive-then-interpolate == interpolate-then-derive when the three
+# vertex normals are identical). Halves the attribute-fetch matmuls and
+# the fetched-row relayout.
+ATTR_ROWS_FLAT = 24
+_F_V0, _F_E1, _F_E2 = 0, 3, 6
+_F_N = 9
+_F_EMIT, _F_ALB, _F_SPEC = 12, 15, 18
+_F_OPAC, _F_ROUGH, _F_METAL = 21, 22, 23
 
-@pytree_dataclass(static=("t_pad", "num_tris", "num_spheres", "num_lights"))
+
+@pytree_dataclass(static=("t_pad", "num_tris", "num_spheres", "num_lights",
+                          "flat_shading"))
 class FusedPack:
     """Device-resident scene pack for the fused bounce kernel."""
 
     m_packed: jnp.ndarray   # (4*T_pad, 48) bf16: [M_hi | M_hi | M_lo] split
-    attrs_hi: jnp.ndarray   # (ATTR_ROWS, T_pad) bf16  \
-    attrs_mid: jnp.ndarray  # (ATTR_ROWS, T_pad) bf16   > exact bf16x3 split
-    attrs_lo: jnp.ndarray   # (ATTR_ROWS, T_pad) bf16  /
+    attrs_hi: jnp.ndarray   # (attr_rows, T_pad) bf16  \
+    attrs_mid: jnp.ndarray  # (attr_rows, T_pad) bf16   > exact bf16x3 split
+    attrs_lo: jnp.ndarray   # (attr_rows, T_pad) bf16  /
     spheres: jnp.ndarray    # (max(S,1), 16) f32 SMEM rows
     lights: jnp.ndarray     # (max(L,1), 16) f32 SMEM rows
     t_pad: int
     num_tris: int
     num_spheres: int
     num_lights: int
+    flat_shading: bool = False  # 24-row pack + in-kernel derived frames
+
+    @property
+    def attr_rows(self) -> int:
+        return ATTR_ROWS_FLAT if self.flat_shading else ATTR_ROWS
 
 
 def _bf16x3(x: np.ndarray):
@@ -126,21 +146,48 @@ def build_fused_pack(scene) -> FusedPack:
 
     tr, mat = scene.tris, scene.mat
     t = scene.num_tris
-    a = np.zeros((ATTR_ROWS, t_pad), np.float32)
+
+    # flat-shading detection: constant per-tri vertex normals AND a
+    # tangent frame equal to the normal-derived fallback (the demo
+    # scenes have no UVs, scene.py tangent_frame_from_normals) - then
+    # the 24-row pack + in-kernel frame derivation is EXACT.
+    n0 = np.asarray(tr.n0)
+    flat = (np.allclose(n0, np.asarray(tr.n1), atol=1e-6)
+            and np.allclose(n0, np.asarray(tr.n2), atol=1e-6))
+    if flat:
+        from pathtrace_tpu.models.scene import tangent_frame_from_normals
+        td, bd = tangent_frame_from_normals(n0[:, None, :])
+        flat = (np.allclose(td[:, 0], np.asarray(tr.t0), atol=1e-5)
+                and np.allclose(bd[:, 0], np.asarray(tr.b0), atol=1e-5))
+
     v0 = np.asarray(tr.v0)
-    a[_A_V0:_A_V0 + 3, :t] = v0.T
-    a[_A_E1:_A_E1 + 3, :t] = (np.asarray(tr.v1) - v0).T
-    a[_A_E2:_A_E2 + 3, :t] = (np.asarray(tr.v2) - v0).T
-    for base, fld in ((_A_N0, "n0"), (_A_N1, "n1"), (_A_N2, "n2"),
-                      (_A_T0, "t0"), (_A_T1, "t1"), (_A_T2, "t2"),
-                      (_A_B0, "b0"), (_A_B1, "b1"), (_A_B2, "b2")):
-        a[base:base + 3, :t] = np.asarray(getattr(tr, fld)).T
-    a[_A_EMIT:_A_EMIT + 3, :t] = np.asarray(mat.emittance).T
-    a[_A_ALB:_A_ALB + 3, :t] = np.asarray(mat.albedo).T
-    a[_A_SPEC:_A_SPEC + 3, :t] = np.asarray(mat.specular).T
-    a[_A_OPAC, :t] = np.asarray(mat.opacity)
-    a[_A_ROUGH, :t] = np.asarray(mat.roughness)
-    a[_A_METAL, :t] = np.asarray(mat.metallic)
+    if flat:
+        a = np.zeros((ATTR_ROWS_FLAT, t_pad), np.float32)
+        a[_F_V0:_F_V0 + 3, :t] = v0.T
+        a[_F_E1:_F_E1 + 3, :t] = (np.asarray(tr.v1) - v0).T
+        a[_F_E2:_F_E2 + 3, :t] = (np.asarray(tr.v2) - v0).T
+        a[_F_N:_F_N + 3, :t] = n0.T
+        a[_F_EMIT:_F_EMIT + 3, :t] = np.asarray(mat.emittance).T
+        a[_F_ALB:_F_ALB + 3, :t] = np.asarray(mat.albedo).T
+        a[_F_SPEC:_F_SPEC + 3, :t] = np.asarray(mat.specular).T
+        a[_F_OPAC, :t] = np.asarray(mat.opacity)
+        a[_F_ROUGH, :t] = np.asarray(mat.roughness)
+        a[_F_METAL, :t] = np.asarray(mat.metallic)
+    else:
+        a = np.zeros((ATTR_ROWS, t_pad), np.float32)
+        a[_A_V0:_A_V0 + 3, :t] = v0.T
+        a[_A_E1:_A_E1 + 3, :t] = (np.asarray(tr.v1) - v0).T
+        a[_A_E2:_A_E2 + 3, :t] = (np.asarray(tr.v2) - v0).T
+        for base, fld in ((_A_N0, "n0"), (_A_N1, "n1"), (_A_N2, "n2"),
+                          (_A_T0, "t0"), (_A_T1, "t1"), (_A_T2, "t2"),
+                          (_A_B0, "b0"), (_A_B1, "b1"), (_A_B2, "b2")):
+            a[base:base + 3, :t] = np.asarray(getattr(tr, fld)).T
+        a[_A_EMIT:_A_EMIT + 3, :t] = np.asarray(mat.emittance).T
+        a[_A_ALB:_A_ALB + 3, :t] = np.asarray(mat.albedo).T
+        a[_A_SPEC:_A_SPEC + 3, :t] = np.asarray(mat.specular).T
+        a[_A_OPAC, :t] = np.asarray(mat.opacity)
+        a[_A_ROUGH, :t] = np.asarray(mat.roughness)
+        a[_A_METAL, :t] = np.asarray(mat.metallic)
     hi, mid, lo = _bf16x3(a)
 
     s = max(scene.num_spheres, 1)
@@ -171,7 +218,7 @@ def build_fused_pack(scene) -> FusedPack:
         attrs_lo=jnp.asarray(lo),
         spheres=jnp.asarray(sph), lights=jnp.asarray(li),
         t_pad=int(t_pad), num_tris=int(t), num_spheres=int(scene.num_spheres),
-        num_lights=int(scene.num_lights),
+        num_lights=int(scene.num_lights), flat_shading=bool(flat),
     )
 
 
@@ -366,7 +413,8 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
                    sf_out, si_out, *,
                    cfg, t_pad, num_spheres, num_lights,
                    lanes_total, num_pix, width, height, k_pix, block_l,
-                   num_pix_total=None, g_inner=1, ablate=frozenset()):
+                   num_pix_total=None, g_inner=1, ablate=frozenset(),
+                   flat_shading=False):
     """ablate: profiling-only section kill switches ("raycast", "fetch",
     "nee", "bsdf", "spheres", "rng", "regen") - each replaces a section
     with cheap placeholder values so its cost can be measured by
@@ -383,6 +431,7 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
     The per-lane ray counter lives in sf's last row (accumulated
     in-kernel; the driver reduces it once per launch)."""
     b_flat = 8 * block_l
+    attr_rows = ATTR_ROWS_FLAT if flat_shading else ATTR_ROWS
 
     # Mosaic rejects shape casts of single rows carrying reduction/
     # replicated layouts (tools/mosaic_probe*.py mapped the support
@@ -467,10 +516,10 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
             arg_flat = unpan(jnp.remainder(ray_ids, t_pad))
             if "fetch" in ablate:
                 attrs = (jnp.remainder(pan(arg_flat), 7).astype(jnp.float32)
-                         * 1e-3 * jnp.ones((ATTR_ROWS, 1, 1), jnp.float32))
+                         * 1e-3 * jnp.ones((attr_rows, 1, 1), jnp.float32))
             else:
                 attrs = pan(_fetch_attrs(arg_flat, ah_ref, am_ref, al_ref,
-                                         t_pad))
+                                         t_pad, rows=(0, attr_rows)))
         else:
             pk = unpan(jnp.concatenate([org, dirn, tmin, tmax], axis=0))
             tri_hit_f, t_approx_f, arg_flat = _closest_tri(
@@ -478,11 +527,12 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
             if "fetch" in ablate:
                 fpk = pan(jnp.concatenate([t_approx_f] * 2, axis=0))
                 attrs = (jnp.remainder(pan(arg_flat), 7).astype(jnp.float32)
-                         * 1e-3 * jnp.ones((ATTR_ROWS, 1, 1), jnp.float32))
+                         * 1e-3 * jnp.ones((attr_rows, 1, 1), jnp.float32))
             else:
-                attrs_f = _fetch_attrs(arg_flat, ah_ref, am_ref, al_ref, t_pad)
+                attrs_f = _fetch_attrs(arg_flat, ah_ref, am_ref, al_ref,
+                                       t_pad, rows=(0, attr_rows))
                 fpk = pan(jnp.concatenate([t_approx_f, attrs_f], axis=0))
-                attrs = fpk[1:1 + ATTR_ROWS]
+                attrs = fpk[1:1 + attr_rows]
             t_approx = fpk[0:1]
             ipk = pan(jnp.concatenate([tri_hit_f.astype(jnp.int32), arg_flat],
                                       axis=0))
@@ -514,26 +564,46 @@ def _bounce_kernel(misc_ref, key_ref, cam_ref, sph_ref, light_ref,
 
         # ---- shading attributes (swapped interpolation weights,
         # CudaPrimitive.cuh:141-146)
-        w0 = 1.0 - u_x - v_x
-        n_out = normalize3(w0 * attrs[_A_N0:_A_N0 + 3]
-                           + v_x * attrs[_A_N1:_A_N1 + 3]
-                           + u_x * attrs[_A_N2:_A_N2 + 3])
-        tangent = normalize3(w0 * attrs[_A_T0:_A_T0 + 3]
-                             + v_x * attrs[_A_T1:_A_T1 + 3]
-                             + u_x * attrs[_A_T2:_A_T2 + 3])
-        bitang = normalize3(w0 * attrs[_A_B0:_A_B0 + 3]
-                            + v_x * attrs[_A_B1:_A_B1 + 3]
-                            + u_x * attrs[_A_B2:_A_B2 + 3])
+        if flat_shading:
+            # constant per-tri normals: interpolation is the identity,
+            # and the tangent frame re-derives EXACTLY the stored
+            # normal-derived fallback (tangent_frame_from_normals)
+            n_out = normalize3(attrs[_F_N:_F_N + 3])
+            helper_y = jnp.abs(n_out[1:2]) < 0.99
+            hx = jnp.where(helper_y, 0.0, 1.0)
+            hy = jnp.where(helper_y, 1.0, 0.0)
+            helper = jnp.concatenate([hx, hy, jnp.zeros_like(hx)], axis=0)
+            tangent = normalize3(cross3(helper, n_out))
+            bitang = cross3(n_out, tangent)
+            mat = dict(
+                emittance=attrs[_F_EMIT:_F_EMIT + 3],
+                albedo=attrs[_F_ALB:_F_ALB + 3],
+                specular=attrs[_F_SPEC:_F_SPEC + 3],
+                opacity=attrs[_F_OPAC:_F_OPAC + 1],
+                roughness=attrs[_F_ROUGH:_F_ROUGH + 1],
+                metallic=attrs[_F_METAL:_F_METAL + 1],
+            )
+        else:
+            w0 = 1.0 - u_x - v_x
+            n_out = normalize3(w0 * attrs[_A_N0:_A_N0 + 3]
+                               + v_x * attrs[_A_N1:_A_N1 + 3]
+                               + u_x * attrs[_A_N2:_A_N2 + 3])
+            tangent = normalize3(w0 * attrs[_A_T0:_A_T0 + 3]
+                                 + v_x * attrs[_A_T1:_A_T1 + 3]
+                                 + u_x * attrs[_A_T2:_A_T2 + 3])
+            bitang = normalize3(w0 * attrs[_A_B0:_A_B0 + 3]
+                                + v_x * attrs[_A_B1:_A_B1 + 3]
+                                + u_x * attrs[_A_B2:_A_B2 + 3])
+            mat = dict(
+                emittance=attrs[_A_EMIT:_A_EMIT + 3],
+                albedo=attrs[_A_ALB:_A_ALB + 3],
+                specular=attrs[_A_SPEC:_A_SPEC + 3],
+                opacity=attrs[_A_OPAC:_A_OPAC + 1],
+                roughness=attrs[_A_ROUGH:_A_ROUGH + 1],
+                metallic=attrs[_A_METAL:_A_METAL + 1],
+            )
         front = dot3(dirn, n_out) < 0.0
         normal = jnp.where(front, n_out, -n_out)
-        mat = dict(
-            emittance=attrs[_A_EMIT:_A_EMIT + 3],
-            albedo=attrs[_A_ALB:_A_ALB + 3],
-            specular=attrs[_A_SPEC:_A_SPEC + 3],
-            opacity=attrs[_A_OPAC:_A_OPAC + 1],
-            roughness=attrs[_A_ROUGH:_A_ROUGH + 1],
-            metallic=attrs[_A_METAL:_A_METAL + 1],
-        )
         if num_spheres:
             center = jnp.concatenate(
                 [_sphere_select(sph_ref, num_spheres, best_s, j, zeros1)
@@ -830,7 +900,8 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
         lanes_total=lanes,
         num_pix=(width * height if num_pix_local is None else num_pix_local),
         width=width, height=height, k_pix=k_pix, block_l=block_l,
-        num_pix_total=num_pix_total, g_inner=g_inner, ablate=ablate)
+        num_pix_total=num_pix_total, g_inner=g_inner, ablate=ablate,
+        flat_shading=pack.flat_shading)
 
     sf2, si2 = pl.pallas_call(
         kernel,
@@ -842,9 +913,9 @@ def fused_bounce_step(pack: FusedPack, misc, key2, cam16, sf, si, *,
             smem(pack.spheres.shape),          # spheres f32
             smem(pack.lights.shape),           # lights f32
             rep((4 * t_pad, 48)),              # m_packed bf16 hi/lo split
-            rep((ATTR_ROWS, t_pad)),           # attrs hi
-            rep((ATTR_ROWS, t_pad)),           # attrs mid
-            rep((ATTR_ROWS, t_pad)),           # attrs lo
+            rep((pack.attr_rows, t_pad)),      # attrs hi
+            rep((pack.attr_rows, t_pad)),      # attrs mid
+            rep((pack.attr_rows, t_pad)),      # attrs lo
             rowblk(sf_rows),                   # state f32 (+rays row)
             rowblk(2),                         # state i32 [flags, ray_ids]
         ],
