@@ -95,9 +95,10 @@ def build_preset_scene(preset: Preset, to_device: bool = True):
     scene = preset.build_scene()
     if preset.use_bvh:
         # accel structure by scene size: MT-matmul handles small scenes
-        # outright; large ones get the binned two-level traversal.
+        # outright; large ones get the KD-cell Pallas pair-block
+        # traversal (accel/kdgrid.py - the round-4 production mesh path).
         if scene.num_tris > 4096:
-            scene = scene.with_binned()
+            scene = scene.with_kd_binned()
         else:
             scene = scene.with_bvh().with_mt()
     if to_device:

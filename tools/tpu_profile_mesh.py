@@ -22,7 +22,7 @@ d = g.normal(size=(r, 3)).astype(np.float32)
 d /= np.linalg.norm(d, axis=-1, keepdims=True)
 d = jnp.asarray(d)
 
-fn = jax.jit(lambda o, dd: binned.raycast_binned_v2(scene, o, dd, k_max=20).t)
+fn = jax.jit(lambda o, dd: binned.raycast_binned_v2(scene, o, dd, k_max=16).t)
 out = fn(org, d); jax.block_until_ready(out)
 jax.profiler.start_trace("/tmp/jaxtrace_mesh")
 for _ in range(5):
