@@ -554,15 +554,22 @@ def _overflow_repair(scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d):
     (REPAIR_CAP x T products - one chunk), scatter back. The full-batch
     fallback remains only for > REPAIR_CAP overflows (pathological).
     """
-    from pathtrace_tpu.ops.mt_matmul import mt_closest_auto
+    from pathtrace_tpu.ops.mt_matmul import (mt_closest_auto,
+                                             mt_matmul_closest_chunked)
 
     n_over = jnp.sum(overflow.astype(jnp.int32))
 
     def repair(res):
         idx = jnp.nonzero(overflow, size=REPAIR_CAP, fill_value=0)[0]
         sel = overflow[idx]
-        ho, to, io, uo, vo = mt_closest_auto(
-            scene.mt, org_d[idx], dirn_d[idx], tmin_d[idx], tmax_d[idx])
+        # wide blocks: at REPAIR_CAP rays the (512, block) products are
+        # tiny, and the default 4096-column scan's ~21 sequential steps
+        # dominated the repair (traced 2.8 ms - it fires on nearly every
+        # 65k batch at overflow rate ~2e-4); 4 steps suffice
+        block = min(32768, scene.mt.det.shape[1])
+        ho, to, io, uo, vo = mt_matmul_closest_chunked(
+            scene.mt, org_d[idx], dirn_d[idx], tmin_d[idx], tmax_d[idx],
+            block=block)
         h, t, i, u, v = res
         def upd(a, b):
             return a.at[idx].set(jnp.where(sel, b, a[idx]))

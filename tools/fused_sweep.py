@@ -50,7 +50,7 @@ def timed(lanes, block_r):
     local0 = jnp.arange(lanes, dtype=jnp.int32).reshape(8, lanes_l)
     sf = jnp.zeros((sf_rows, 8, lanes_l), jnp.float32).at[4].set(-1.0)
     sf = sf.at[9:12].set(1.0)
-    si = jnp.zeros((6, 8, lanes_l), jnp.int32).at[3].set(1).at[4].set(local0)
+    si = jnp.zeros((2, 8, lanes_l), jnp.int32).at[0].set(1).at[1].set(local0)
 
     @jax.jit
     def loop_steps(sf, si):
