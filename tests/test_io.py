@@ -117,3 +117,15 @@ def test_checkpoint_roundtrip(tmp_path):
     assert state["spp_per_pass"] == 16
     np.testing.assert_allclose(np.asarray(state["tri_mat"].albedo),
                                np.asarray(mat.albedo))
+
+
+def test_presets_build_with_production_accel():
+    """Every preset builds; large scenes get the KD pair-block structures
+    (the production mesh path), small ones MT coefficients."""
+    from pathtrace_tpu.models.presets import PRESETS, build_preset_scene
+
+    small = build_preset_scene(PRESETS["diffuse256"], to_device=False)
+    assert small.mt is not None
+    mesh = build_preset_scene(PRESETS["mesh512"], to_device=False)
+    assert mesh.pair_pack is not None
+    assert mesh.clusters.dup_map is not None
