@@ -25,6 +25,19 @@ K clusters (k_max): rays intersecting more than K cluster AABBs fall back
 to brute force against the full scene for correctness (mask-mixed in, no
 recompilation; the cap violation rate is ~0 for reasonable K and is
 asserted in tests).
+
+Two generations live here:
+
+- v1 (raycast_binned / raycast_binned_closest): XLA-only, BVH-subtree
+  clusters, sorted-key dispatch + einsum group loop. Kept as a tested
+  reference backend.
+- v2 (raycast_binned_v2 / shadow_binned_v2, the PRODUCTION mesh path):
+  the Pallas pair-block kernel (ops/pallas/pair_kernel.py) over
+  non-overlapping KD cells (accel/kdgrid.py), driven by the sort-free
+  dispatch in build_pair_dispatch and a dense (R, K) gather-back reduce,
+  with a capacity-bounded overflow repair instead of the full-scene
+  fallback. See build_pair_dispatch's docstring for the measured
+  rationale behind each choice.
 """
 
 from __future__ import annotations
@@ -324,26 +337,6 @@ def raycast_binned_closest(clusters: ClusterArrays, org, dirn, t_min, t_max,
 # ---------------------------------------------------------------------------
 # v2: Pallas pair-block dispatch (round 4)
 # ---------------------------------------------------------------------------
-
-def peel_hit_clusters(hit_m, k_max: int):
-    """(R, K) hit-cluster ids in ascending index order + valid mask.
-
-    Replaces lax.top_k, which XLA lowers to a FULL (R, M) sort_key_val
-    (traced at ~7 ms/call at 65k x 451 - tools/tpu_profile_mesh.py);
-    cluster visit order is irrelevant on a no-early-out machine, so K
-    cheap min-peel passes over the mask suffice.
-    """
-    r, m = hit_m.shape
-    cols = jax.lax.broadcasted_iota(jnp.int32, hit_m.shape, 1)
-    live = hit_m
-    idxs = []
-    for _ in range(k_max):
-        c = jnp.min(jnp.where(live, cols, m), axis=1)
-        idxs.append(c)
-        live = live & (cols != c[:, None])
-    idx = jnp.stack(idxs, axis=1)
-    return idx, idx < m
-
 
 def build_pair_dispatch(clusters: ClusterArrays, hit_m, tnear, k_max: int,
                         block_pairs: int, cap_budget: int = None):
