@@ -95,7 +95,7 @@ def main():
     # best-of-N: the remote-TPU tunnel adds +-2% run-to-run dispatch
     # noise on a ~1.3 s measurement; min over repeats reports the
     # device's actual throughput (the timed program is identical)
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
     dt = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
