@@ -524,14 +524,324 @@ def raycast_binned_pallas(scene, org, dirn, t_min=0.0, t_max=None, *,
 
     gid = jnp.take_along_axis(res[..., 2], best_k[:, None],
                               axis=1)[:, 0].astype(jnp.int32)
-    if clusters.dup_map is not None:
-        dup = jnp.asarray(clusters.dup_map)
-        gid = dup[jnp.clip(gid, 0, dup.shape[0] - 1)]
+    # (the kernel emits original tri ids - pack attr row 9 - so no dup
+    # translation is needed here)
     # u/v placeholders: every consumer (raycast_binned_v2 / shadow) either
     # recomputes them differentiably at gid (mt_gather) or ignores them
     zeros = jnp.zeros_like(best_t)
     return (hit, jnp.where(hit, best_t, 0.0), gid, zeros, zeros,
             disp["overflow"])
+
+
+# ---------------------------------------------------------------------------
+# v3: arithmetic slot inversion + packed scatter-min reduce (round 5)
+# ---------------------------------------------------------------------------
+#
+# v2's remaining wall was pure index traffic (TPU charges ~5 ns per
+# randomly-indexed element, measured via trace): the (R, K) packed peel
+# (~3.5 ms), the 1M-element slot_ray scatter (~4.8 ms), the (R, K, 4)
+# gather-back reduce (~4.6 ms) and the k_max overflow repair (~3 ms) per
+# raycast at 65k lanes. v3 removes ALL of them:
+#
+#   1. slot_ray is computed ARITHMETICALLY, not scattered: slot s in
+#      cluster c's run at rank j names the (j+1)-th ray hitting c, i.e.
+#      the (j+1)-th set bit of column c of the hit matrix. With the hit
+#      matrix bit-packed per column into 512-row panels (16 u32 words)
+#      and per-(panel, column) popcount prefix sums, the rank->ray map is
+#      a panel search (dense compare-reduce), ONE (cap, 16) word-row
+#      gather, and a 5-step in-word popcount binary search - all dense
+#      vector math at slot granularity.
+#   2. there is NO k_max: every (ray, cell) crossing gets a slot, so the
+#      per-ray overflow class (and its repair pass) is gone. The only
+#      residual overflow is the static global slot budget (cap_budget);
+#      exceeded runs mark exactly the affected rays (those crossing a
+#      truncated cluster) for the capacity-bounded repair.
+#   3. the per-ray reduce is ONE scatter-min of a packed 32-bit key
+#      [quantized t | dup-space tri id] over the slot axis - no slot_of
+#      inverse map, no (R, K) gather-back, no argmin glue. t is
+#      quantized to a rebased-exponent log code (monotone for
+#      t in [2^-10, 2^22]); the winner's exact t/u/v are recomputed
+#      differentiably by the caller's mt_gather tail, so quantization
+#      only influences WHICH of two triangles within ~2^-mant relative t
+#      wins - ambiguous geometry at that separation. The dup-tri budget
+#      fixes the split: gid_bits = ceil(log2(D)), t gets 32 - gid_bits
+#      (blob82k: 17 gid bits -> 5 exp + 10 mantissa, 1e-3 relative).
+#
+# Reference parity: same closest-hit contract as RayCast
+# (CudaUtil.cuh:93-148); the arithmetic inversion has no reference
+# analog (it exists to keep a vector machine free of index traffic).
+
+_PANEL = 512           # rays per popcount panel (16 u32 words)
+_T_EXP_BASE = 117      # biased exponent of 2^-10; t below collapses
+
+
+def _key_bits(num_dup: int):
+    """(gid_bits, exp_bits=5, mant_bits) split of the 32-bit reduce key."""
+    gid_bits = max(1, int(np.ceil(np.log2(max(num_dup, 2)))))
+    assert gid_bits <= 22, f"scene too large for packed reduce: {num_dup}"
+    mant_bits = 32 - gid_bits - 5
+    return gid_bits, mant_bits
+
+
+def build_pair_dispatch_v3(clusters: ClusterArrays, hit_m, block_pairs: int,
+                           cap_budget: int = None):
+    """Hit mask -> cluster-grouped pair dispatch, scatter- and peel-free.
+
+    Returns a dict:
+      slot_ray    (cap,) i32   ray id per pair slot (clamped safe; dead
+                               slots flagged by `live`, not by -1)
+      live        (cap,) bool  slot holds a real (ray, cluster) pair
+      block_cluster (nb,) i32  cluster per block, clamped to [0, M)
+      block_prim_start (nb,) i32  cluster's prim base, -1 = padding block
+      overflow    (R,) bool    ray crossed a cluster whose run was
+                               truncated by cap_budget (repair needed)
+    """
+    r0, m = hit_m.shape
+    b = block_pairs
+    if cap_budget is None:
+        cap_budget = 6 * r0 + m * b
+    cap = (cap_budget // b) * b
+    r = -(-r0 // _PANEL) * _PANEL
+    if r != r0:
+        hit_m = jnp.pad(hit_m, ((0, r - r0), (0, 0)))
+    p_cnt = r // _PANEL
+    wpp = _PANEL // 32                                # words per panel
+
+    hf = hit_m.astype(jnp.float32)
+    pc_panel = hf.reshape(p_cnt, _PANEL, m).sum(axis=1)          # (P, M)
+    counts = pc_panel.sum(axis=0).astype(jnp.int32)              # (M,)
+    base_panel = (jnp.cumsum(pc_panel, axis=0)
+                  - pc_panel).astype(jnp.int32)                  # excl (P, M)
+
+    padded = ((counts + b - 1) // b) * b
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(padded)[:-1]])
+
+    # column bitmask words: (M * P, wpp) u32, row-gatherable by (c, p)
+    bits = hit_m.T.reshape(m, p_cnt, wpp, 32)
+    shifts = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits.astype(jnp.uint32) * shifts,
+                    axis=-1).reshape(m * p_cnt, wpp)
+
+    nb = cap // b
+    block_ids = jnp.arange(nb, dtype=jnp.int32)
+    cum_pad_blocks = jnp.cumsum(padded // b)
+    block_cluster = jnp.searchsorted(cum_pad_blocks, block_ids,
+                                     side="right").astype(jnp.int32)
+    is_pad_block = block_cluster >= m
+    block_cluster = jnp.minimum(block_cluster, m - 1)
+    ps = jnp.asarray(clusters.prim_start)
+    block_prim_start = jnp.where(is_pad_block, -1, ps[block_cluster])
+
+    # per-slot rank within its cluster's run (all (nb,)-table gathers:
+    # thousands of elements, negligible; per-slot math is dense)
+    blk_off = offsets[block_cluster]                             # (nb,)
+    blk_cnt = counts[block_cluster]
+    lane = jnp.arange(b, dtype=jnp.int32)
+    j = (block_ids[:, None] * b + lane[None, :]
+         - blk_off[:, None])                                     # (nb, B)
+    live = (j < blk_cnt[:, None]) & ~is_pad_block[:, None]
+    j = jnp.clip(j, 0, r - 1)
+
+    # panel holding the (j+1)-th set bit: largest p with base[p, c] <= j
+    bp_rows = base_panel.T[block_cluster]                        # (nb, P)
+    le = bp_rows[:, None, :] <= j[:, :, None]                    # (nb,B,P)
+    p_of = jnp.sum(le, axis=-1).astype(jnp.int32) - 1
+    base_sel = jnp.max(jnp.where(le, bp_rows[:, None, :], 0), axis=-1)
+    jp = j - base_sel                                            # in-panel
+
+    # the one real gather: this slot's 16 panel words
+    row_idx = (block_cluster[:, None] * p_cnt + p_of).reshape(-1)
+    wrows = words[row_idx]                                       # (cap,wpp)
+    pcw = jax.lax.population_count(wrows).astype(jnp.int32)
+    cum_incl = jnp.cumsum(pcw, axis=1)
+    jp_f = jp.reshape(-1)
+    w_sel = jnp.sum((cum_incl <= jp_f[:, None]).astype(jnp.int32),
+                    axis=1)
+    w_sel = jnp.minimum(w_sel, wpp - 1)
+    iota_w = jnp.arange(wpp, dtype=jnp.int32)
+    pick = iota_w[None, :] == w_sel[:, None]
+    base_w = jnp.sum(jnp.where(pick, cum_incl - pcw, 0), axis=1)
+    word_val = jnp.sum(jnp.where(pick, wrows, jnp.uint32(0)), axis=1,
+                       dtype=jnp.uint32)
+    jj = jp_f - base_w                                           # (cap,)
+
+    # index of the (jj+1)-th set bit: popcount binary search, 5 rounds
+    pos = jnp.zeros_like(jj)
+    for width in (16, 8, 4, 2, 1):
+        lmask = (jnp.uint32(1) << (pos + width).astype(jnp.uint32)) \
+            - jnp.uint32(1)
+        cnt = jax.lax.population_count(word_val & lmask).astype(jnp.int32)
+        pos = pos + jnp.where(cnt <= jj, width, 0)
+
+    ray = (p_of.reshape(-1) * _PANEL + w_sel * 32 + pos)
+    slot_ray = jnp.clip(ray, 0, r0 - 1)
+
+    bad_col = (offsets + padded) > cap                           # (M,)
+    overflow = jnp.any(hit_m[:r0] & bad_col[None, :], axis=1)
+    return dict(slot_ray=slot_ray, live=live.reshape(-1),
+                block_cluster=block_cluster,
+                block_prim_start=block_prim_start, overflow=overflow)
+
+
+def raycast_binned_pallas_v3(scene, org, dirn, t_min=0.0, t_max=None, *,
+                             mode: str = "closest", interpret=None,
+                             cap_budget=None):
+    """Closest-hit via the pair kernel + v3 dispatch + packed scatter-min.
+
+    Returns (hit, t_approx, gid, overflow) per ray - detached primal.
+    gid is in ORIGINAL triangle space (dup_map applied). t_approx carries
+    the reduce key's quantization (~2^-mant relative); callers recompute
+    exact t at gid (mt_gather). t_min/t_max: scalars or (R,) arrays,
+    honored both in the cell cull and the in-kernel accept tests.
+    """
+    from pathtrace_tpu.accel.traverse import safe_inv_dir
+    from pathtrace_tpu.ops.intersect import BIG_T
+    from pathtrace_tpu.ops.mt_matmul import ray_features
+    from pathtrace_tpu.ops.pallas.pair_kernel import pair_blocks_search
+
+    clusters = scene.clusters
+    pack = scene.pair_pack
+    assert pack is not None, "scene has no pair_pack; Scene.with_kd_binned()"
+    assert clusters.dup_map is not None, \
+        "v3 requires KD cells (non-overlapping, dup_map)"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if t_max is None:
+        t_max = BIG_T
+    r = org.shape[0]
+    c_cap = pack.cluster_cap
+    b = min(c_cap, 128)
+    # the kernel emits ORIGINAL tri ids (pack attr row 9), so duplicate
+    # copies of one triangle carry identical keys and the dup gather is
+    # free; the key budget is set by the original tri count
+    gid_bits, mant_bits = _key_bits(scene.num_tris)
+
+    tmin_arr = (jnp.full((r,), float(t_min), jnp.float32)
+                if jnp.ndim(t_min) == 0 else t_min)
+    tmax_arr = (jnp.full((r,), float(t_max), jnp.float32)
+                if jnp.ndim(t_max) == 0 else t_max)
+    inv_d = safe_inv_dir(dirn)
+    hit_m, _ = _slab_all(org, inv_d, clusters.bmin, clusters.bmax,
+                         tmin_arr, tmax_arr)
+    disp = build_pair_dispatch_v3(clusters, hit_m, b,
+                                  cap_budget=cap_budget)
+    slot_ray = disp["slot_ray"]
+    live = disp["live"]
+    cap = slot_ray.shape[0]
+
+    # ONE per-ray row table [feats(16) | tmin | tmax], ONE (cap, 18)
+    # row gather (v2 built meta from separate (cap,)-wide 1-element
+    # gathers - traced at ~3 ms each; 64B+ rows amortize the per-row cost)
+    feats = ray_features(org, dirn)
+    table = jnp.concatenate([feats, tmin_arr[:, None], tmax_arr[:, None]],
+                            axis=1)
+    g = table[slot_ray]                                  # (cap, 18)
+    feats_t = g[:, :16].T
+    zero = jnp.zeros((cap,), jnp.float32)
+    meta = jnp.stack([
+        jnp.where(live, 1.0, -1.0), g[:, 16], g[:, 17],
+        jnp.full((cap,), -1.0, jnp.float32),
+        zero, zero, zero, zero], axis=0)
+
+    out = pair_blocks_search(pack, disp["block_cluster"],
+                             disp["block_prim_start"],
+                             feats_t, meta, c_cap=c_cap, block_pairs=b,
+                             mode=mode, interpret=interpret)
+
+    # packed scatter-min: key = [5-bit rebased exp | mant | dup gid]
+    t_row = out[0]
+    hit_row = out[3] > 0.5
+    gid_row = out[4].astype(jnp.int32)
+    tb = jax.lax.bitcast_convert_type(jnp.maximum(t_row, 0.0), jnp.int32)
+    e = jnp.clip((tb >> 23) - _T_EXP_BASE, 0, 31)
+    mant = (tb >> (23 - mant_bits)) & ((1 << mant_bits) - 1)
+    tq = ((e << mant_bits) | mant).astype(jnp.uint32)
+    key = (tq << gid_bits) | gid_row.astype(jnp.uint32)
+    dead_key = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(hit_row & live, key, dead_key)
+    # interleave the slot axis before scattering: slot order is ascending
+    # within every cluster run (ranks follow ray id), and near-ascending
+    # scatters serialize on TPU (the probe history that shaped v2's
+    # "well-mixed" scatter). The min is order-independent, so a dense
+    # (nb, B) transpose relayout mixes consecutive updates across blocks.
+    nb = cap // b
+    key_x = key.reshape(nb, b).T.reshape(-1)
+    ray_x = slot_ray.reshape(nb, b).T.reshape(-1)
+    best = jnp.full((r,), dead_key).at[ray_x].min(key_x)
+    hit = best != dead_key
+
+    gid = (best & jnp.uint32((1 << gid_bits) - 1)).astype(jnp.int32)
+    # approximate t back from the quantized code (exact recompute is the
+    # caller's mt_gather; this only feeds the sphere-vs-tri compare)
+    tq_back = (best >> gid_bits).astype(jnp.int32)
+    e_b = (tq_back >> mant_bits) + _T_EXP_BASE
+    m_b = (tq_back & ((1 << mant_bits) - 1)) << (23 - mant_bits)
+    t_approx = jax.lax.bitcast_convert_type((e_b << 23) | m_b, jnp.float32)
+    t_approx = jnp.where(hit, t_approx, 0.0)
+    return hit, t_approx, gid, disp["overflow"]
+
+
+def raycast_binned_v3(scene, org, dirn, t_min=None, t_max=None):
+    """Drop-in raycast (HitRecord) through the v3 dispatch."""
+    from pathtrace_tpu.ops.intersect import (BIG_T, finalize_hit,
+                                             finalize_hit_packed, mt_gather)
+
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
+    r = org.shape[0]
+    if t_min is None:
+        t_min = jnp.zeros((r,), jnp.float32)
+    if t_max is None:
+        t_max = jnp.full((r,), BIG_T, jnp.float32)
+    tmin_d = jax.lax.stop_gradient(t_min)
+    tmax_d = jax.lax.stop_gradient(t_max)
+    hit, best_t, idx, overflow = raycast_binned_pallas_v3(
+        scene, org_d, dirn_d, tmin_d, tmax_d)
+
+    if scene.mt is not None:
+        zeros = jnp.zeros((r,), jnp.float32)
+        hit, best_t, idx, _, _ = _overflow_repair(
+            scene, (hit, best_t, idx, zeros, zeros), overflow, org_d,
+            dirn_d, tmin_d, tmax_d)
+
+    idx = jnp.minimum(jnp.maximum(idx, 0), scene.num_tris - 1)
+    if scene.geom_pack is not None and scene.num_spheres == 0:
+        # one-gather differentiable recompute + shading tail
+        return finalize_hit_packed(scene, org, dirn, t_min, hit, idx)
+    t2, u2, v2, _ = mt_gather(scene.tris, idx, org, dirn, t_min,
+                              jnp.full_like(t_max, BIG_T))
+    best_t = jnp.where(hit, t2, best_t)
+    u = jnp.where(hit, u2, 0.0)
+    v = jnp.where(hit, v2, 0.0)
+    return finalize_hit(scene, org, dirn, t_min, t_max, hit, best_t, idx,
+                        u, v)
+
+
+def shadow_binned_v3(scene, org, dirn, t_min, t_max):
+    """Lean shadow backend via the v3 dispatch: (hit, prim_id, is_sphere).
+    NEE only identity-tests the winner (megakernel.nee_contribution)."""
+    org_d = jax.lax.stop_gradient(org)
+    dirn_d = jax.lax.stop_gradient(dirn)
+    tmin_d = jax.lax.stop_gradient(t_min)
+    tmax_d = jax.lax.stop_gradient(t_max)
+    hit, tri_t, gid, overflow = raycast_binned_pallas_v3(
+        scene, org_d, dirn_d, tmin_d, tmax_d, mode="shadow")
+
+    if scene.mt is not None:
+        res = (hit, tri_t, gid, jnp.zeros_like(tri_t),
+               jnp.zeros_like(tri_t))
+        hit, tri_t, gid, _, _ = _overflow_repair(
+            scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d)
+    if scene.num_spheres:
+        from pathtrace_tpu.ops.intersect import (closest_masked,
+                                                 intersect_spheres_all)
+        st, svalid = intersect_spheres_all(scene.spheres, org, dirn,
+                                           t_min, t_max)
+        sp_t, _, sp_hit = closest_masked(jnp.where(svalid, st, jnp.inf))
+        use_sph = sp_hit & (~hit | (sp_t < jnp.where(hit, tri_t, jnp.inf)))
+        return hit | sp_hit, gid, use_sph
+    return hit, gid, jnp.zeros_like(hit)
 
 
 REPAIR_CAP = 512
@@ -635,9 +945,9 @@ def shadow_binned_v2(scene, org, dirn, t_min, t_max, k_max: int = 16):
     if scene.num_spheres:
         from pathtrace_tpu.ops.intersect import (closest_masked,
                                                  intersect_spheres_all)
-        s_hit, s_t, s_idx = intersect_spheres_all(scene.spheres, org, dirn,
-                                                  t_min, t_max)
-        sp_hit, sp_t, _ = closest_masked(s_hit, s_t, s_idx)
+        st, svalid = intersect_spheres_all(scene.spheres, org, dirn,
+                                           t_min, t_max)
+        sp_t, _, sp_hit = closest_masked(jnp.where(svalid, st, jnp.inf))
         use_sph = sp_hit & (~hit | (sp_t < jnp.where(hit, tri_t, jnp.inf)))
         return hit | sp_hit, gid, use_sph
     return hit, gid, jnp.zeros_like(hit)

@@ -50,12 +50,18 @@ def _maybe_detach(x, cfg: IntegratorConfig):
 
 def default_raycast(scene: Scene):
     """Pick the best available intersection backend for this scene:
-    Pallas pair-block kernel > XLA binned clusters > MXU-matmul
-    coefficients > BVH traversal > brute."""
-    if scene.pair_pack is not None:
-        from pathtrace_tpu.accel.binned import raycast_binned_v2
-        return raycast_binned_v2
-    if scene.clusters is not None:
+    Pallas pair-block kernel (v3, KD cells only) > XLA binned clusters >
+    MXU-matmul coefficients > BVH traversal > brute.
+
+    The pair-kernel route is gated on clusters.dup_map (KD cells): BVH-
+    subtree clusters overlap heavily around dense surfaces, so routing
+    them through the pair dispatch re-creates the overflow storms the KD
+    partition exists to avoid - with_binned() scenes keep the calibrated
+    k=48 v1 path."""
+    if scene.pair_pack is not None and scene.clusters.dup_map is not None:
+        from pathtrace_tpu.accel.binned import raycast_binned_v3
+        return raycast_binned_v3
+    if scene.clusters is not None and scene.clusters.dup_map is None:
         from pathtrace_tpu.accel.binned import raycast_binned
         return raycast_binned
     if scene.mt is not None:
@@ -76,9 +82,9 @@ def default_shadow_raycast(scene: Scene):
     interpolation of the primary raycast."""
     from pathtrace_tpu.ops.intersect import shadow_brute
 
-    if scene.pair_pack is not None:
-        from pathtrace_tpu.accel.binned import shadow_binned_v2
-        return shadow_binned_v2
+    if scene.pair_pack is not None and scene.clusters.dup_map is not None:
+        from pathtrace_tpu.accel.binned import shadow_binned_v3
+        return shadow_binned_v3
     if scene.mt is not None and scene.clusters is None:
         from pathtrace_tpu.ops.mt_matmul import shadow_matmul
         return shadow_matmul

@@ -229,6 +229,9 @@ class Scene:
     mt: object = None        # Optional[MTCoeffs] - MXU-matmul intersection
     clusters: object = None  # Optional[ClusterArrays] - binned traversal
     pair_pack: object = None  # Optional[PairPack] - Pallas pair kernel tiles
+    # (T, 42) baked per-triangle shading row (ops/intersect.build_geom_pack)
+    # for the one-gather finalize tail; built by with_kd_binned.
+    geom_pack: object = None
     # (L, 13) per-light geometry [v0 v1 v2 area geometric_normal], packed at
     # build time so NEE's area sampling gathers from a tiny (L,) table
     # instead of five one-hot matmuls over the full (T,) triangle arrays
@@ -347,5 +350,7 @@ class Scene:
             positions, max_tris=max_tris)
         clusters = dataclasses.replace(clusters,
                                        dup_map=jnp.asarray(dup_map))
-        pack = build_pair_pack(clusters, dup_positions)
-        return dataclasses.replace(scene, clusters=clusters, pair_pack=pack)
+        pack = build_pair_pack(clusters, dup_positions, global_ids=dup_map)
+        from pathtrace_tpu.ops.intersect import build_geom_pack
+        return dataclasses.replace(scene, clusters=clusters, pair_pack=pack,
+                                   geom_pack=build_geom_pack(scene.tris))

@@ -6,12 +6,18 @@ batches via counting-sort compaction by (alive, lobe) keys (SURVEY.md §2
 branchless (masked select over lobes, VPU) than a per-bounce sort - but
 the compaction op itself is needed for:
 
-- the binned two-level traversal (rays grouped by BVH cluster,
-  accel/binned.py - the production consumer)
-- lobe-sorted shading (measured SLOWER than branchless on TPU: the
+- lobe-sorted shading experiments (measured SLOWER than branchless: the
   sort + 4 gather/scatter passes cost more than evaluating all four
   lobes' VPU arithmetic on every lane; see tools/lobe_sort_bench.py)
 - any fixed-capacity queue maintenance
+
+NOTE: the production mesh traversal does NOT use this module - its
+dispatch is sort-free (accel/binned.py build_pair_dispatch_v3's
+arithmetic slot inversion replaced the counting-sort generation after
+per-op tracing showed every p-sized routed op costing 2-9 ms at
+p = R*K). The consumers today are tools/lobe_sort_bench.py and the
+unit test; the module stays as the reusable compaction primitive the
+survey prescribes.
 
 Implemented as a stable vectorized counting sort: O(R*K) one-hot
 histogram + exclusive-scan offsets + rank-within-class, all dense ops

@@ -21,6 +21,7 @@ oracle for BVH traversal; accel/ provides the BVH'd version.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from pathtrace_tpu.models.scene import Material, Scene
 from pathtrace_tpu.utils import math3
@@ -179,6 +180,79 @@ def mt_gather(tris, pid: jnp.ndarray, org: jnp.ndarray, dirn: jnp.ndarray,
     valid &= (u >= 0.0) & (u <= det)
     valid &= (v >= 0.0) & (u + v <= det)
     return t, u * inv_det, v * inv_det, valid
+
+
+def build_geom_pack(tris) -> np.ndarray:
+    """(T, 42) baked per-triangle row [v0 e1 e2 n0 n1 n2 t0 t1 t2 b0 b1 b2
+    uv0 uv1 uv2] for the one-gather shading tail (finalize_hit_packed).
+
+    Geometry carries no gradients by scope (material/emission grads only,
+    SURVEY.md §7 M5), so baking is exact; materials are concatenated
+    in-trace so autodiff reaches the learnable pytree."""
+    v0 = np.asarray(tris.v0)
+    cols = [v0, np.asarray(tris.v1) - v0, np.asarray(tris.v2) - v0]
+    for f in ("n0", "n1", "n2", "t0", "t1", "t2", "b0", "b1", "b2",
+              "uv0", "uv1", "uv2"):
+        cols.append(np.asarray(getattr(tris, f)))
+    return np.concatenate(cols, axis=1).astype(np.float32)
+
+
+def finalize_hit_packed(scene: Scene, org, dirn, t_min, hit,
+                        tri_idx) -> HitRecord:
+    """finalize_hit for triangle-only scenes through ONE row gather.
+
+    The generic tail issues ~21 separate (R,)-wide gathers (verts for the
+    mt recompute, 12 attribute arrays, 6 material fields) - each pays
+    TPU's per-row gather cost (traced ~5 ms/bounce at 65k lanes on
+    blob82k). Here the per-triangle row is [geom_pack (42) | materials
+    (12)], concatenated in-trace (differentiable w.r.t. the material
+    pytree: concat + gather VJP is a scatter-add) and gathered ONCE.
+    Semantics mirror finalize_hit + mt_gather exactly: swapped u/v
+    interpolation weights (CudaPrimitive.cuh:141-146), backface-cull
+    recompute at the winner, front-face normal flip."""
+    r = org.shape[0]
+    mat = scene.mat
+    table = jnp.concatenate([
+        jnp.asarray(scene.geom_pack), mat.emittance, mat.albedo,
+        mat.specular, mat.opacity[:, None], mat.roughness[:, None],
+        mat.metallic[:, None]], axis=1)                      # (T, 54)
+    safe = jnp.where(hit, tri_idx, 0)
+    row = table[safe]                                        # (R, 54)
+
+    v0 = row[:, 0:3]
+    e1 = row[:, 3:6]
+    e2 = row[:, 6:9]
+    tvec = org - v0
+    pv = math3.cross(dirn, e2)
+    qv = math3.cross(tvec, e1)
+    det = math3.dot(pv, e1)
+    inv_det = jnp.where(jnp.abs(det) > math3.TINY, 1.0 / det, 0.0)
+    t = math3.dot(qv, e2) * inv_det
+    u = math3.dot(pv, tvec) * inv_det
+    v = math3.dot(qv, dirn) * inv_det
+
+    w0 = (1.0 - u - v)[:, None]
+    wu = u[:, None]
+    wv = v[:, None]
+
+    def interp(base):
+        return (w0 * row[:, base:base + 3] + wv * row[:, base + 3:base + 6]
+                + wu * row[:, base + 6:base + 9])
+
+    outward_n = math3.normalize(interp(9))
+    front = math3.dot(dirn, outward_n) < 0.0
+    normal = jnp.where(front[:, None], outward_n, -outward_n)
+    tangent = math3.normalize(interp(18))
+    bitangent = math3.normalize(interp(27))
+    uv = (w0 * row[:, 36:38] + wv * row[:, 38:40] + wu * row[:, 40:42])
+    p = org + t[:, None] * dirn
+    matg = Material(emittance=row[:, 42:45], albedo=row[:, 45:48],
+                    specular=row[:, 48:51], opacity=row[:, 51],
+                    roughness=row[:, 52], metallic=row[:, 53])
+    return HitRecord(
+        hit=hit, t=jnp.where(hit, t, BIG_T), p=p, normal=normal,
+        tangent=tangent, bitangent=bitangent, front_face=front, uv=uv,
+        prim_id=tri_idx, is_sphere=jnp.zeros((r,), bool), mat=matg)
 
 
 def finalize_hit(scene: Scene, org, dirn, t_min, t_max,

@@ -73,10 +73,18 @@ class PairPack:
     cluster_cap: int
 
 
-def build_pair_pack(clusters, positions_reordered: np.ndarray) -> PairPack:
+def build_pair_pack(clusters, positions_reordered: np.ndarray,
+                    global_ids: np.ndarray = None) -> PairPack:
     """Host-side pack build from ClusterArrays (accel/binned.py).
 
     positions_reordered: (T, 3, 3) in BVH leaf-contiguous order.
+    global_ids: optional (T,) member slot -> emitted tri id (KD scenes
+    pass dup_map so the kernel emits ORIGINAL ids directly - the XLA-side
+    dup gather was ~0.55 ms/raycast, and duplicated copies of one tri
+    then produce identical reduce keys). Default: prim_start + local.
+    Ids ride attr row 9 through the exact bf16x3 split (ids < 2^24 split
+    into 3x8 mantissa bits losslessly; the one-hot matmul keeps f32
+    accumulation, so the reconstruction is exact).
     """
     import ml_dtypes
 
@@ -92,6 +100,9 @@ def build_pair_pack(clusters, positions_reordered: np.ndarray) -> PairPack:
 
     ps = np.asarray(clusters.prim_start)
     cnt = np.asarray(clusters.prim_count)
+    if global_ids is None:
+        global_ids = np.arange(positions_reordered.shape[0], dtype=np.int64)
+    assert int(np.max(global_ids, initial=0)) < (1 << 24)
     attrs = np.zeros((m, _ROWS_ATTR, c), np.float32)
     v0 = positions_reordered[:, 0]
     e1 = positions_reordered[:, 1] - v0
@@ -101,6 +112,7 @@ def build_pair_pack(clusters, positions_reordered: np.ndarray) -> PairPack:
         attrs[k, 0:3, :n] = v0[s:s + n].T
         attrs[k, 3:6, :n] = e1[s:s + n].T
         attrs[k, 6:9, :n] = e2[s:s + n].T
+        attrs[k, 9, :n] = global_ids[s:s + n]
     hi = attrs.astype(ml_dtypes.bfloat16)
     mid = (attrs - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
     lo = (attrs - hi.astype(np.float32) - mid.astype(np.float32)).astype(
@@ -132,9 +144,10 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
                  c_cap, mode):
     """One pair-block: search cluster bc[i] for B pairs.
 
-    meta rows: 0 slot_ray (< 0 marks a dead slot), 1 tmin, 2 tmax,
-    3 excluded global tri id (-1 none).
-    out rows: 0 t, 1 u, 2 v, 3 hit, 4 global tri id (f32; ids < 2^24).
+    meta rows: 0 slot-live flag (< 0 marks a dead slot), 1 tmin, 2 tmax,
+    3 excluded member-space tri id (-1 none).
+    out rows: 0 t, 1 u, 2 v, 3 hit, 4 emitted tri id (attr row 9: the
+    pack builder's global_ids - ORIGINAL ids for KD scenes; f32, < 2^24).
 
     Padding blocks (bps[i] < 0, the sorted invalid-run tail) skip all
     compute via pl.when; their out block is garbage, masked downstream
@@ -182,13 +195,19 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
         hit = best < BIG
 
         zero = jnp.zeros_like(best)
+        oh = (tri_local == arg).astype(jnp.bfloat16)      # (C, B)
+        id_win = (jnp.dot(ah_ref[0, 9:10], oh,
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(am_ref[0, 9:10], oh,
+                            preferred_element_type=jnp.float32)
+                  + jnp.dot(al_ref[0, 9:10], oh,
+                            preferred_element_type=jnp.float32))  # (1, B)
         if mode == "shadow":
             t_out = jnp.where(hit, best, BIG)
             u_out = zero
             v_out = zero
         else:
             # exact recompute at the banded winner (gates slack accepts)
-            oh = (tri_local == arg).astype(jnp.bfloat16)  # (C, B)
             rows = jnp.dot(ah_ref[0], oh, preferred_element_type=jnp.float32)
             rows += jnp.dot(am_ref[0], oh, preferred_element_type=jnp.float32)
             rows += jnp.dot(al_ref[0], oh, preferred_element_type=jnp.float32)
@@ -214,13 +233,11 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
             u_out = jnp.where(hit, u_x * inv_det, 0.0)
             v_out = jnp.where(hit, v_x * inv_det, 0.0)
 
-        gid_win = jnp.sum(jnp.where(tri_local == arg, gid, 0.0), axis=0,
-                          keepdims=True)
         out_ref[0:1] = t_out
         out_ref[1:2] = u_out
         out_ref[2:3] = v_out
         out_ref[3:4] = hit.astype(jnp.float32)
-        out_ref[4:5] = gid_win
+        out_ref[4:5] = id_win
         out_ref[5:8] = jnp.zeros((3,) + best.shape[1:], jnp.float32)
 
     @pl.when(prim_start < 0)
