@@ -42,7 +42,7 @@ def main():
     if which == "mesh":
         # the committed 82k-tri OBJ asset through the OBJ/MTL loader and
         # the KD-cell Pallas pair-block traversal (assets/blob82k.obj)
-        scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=512)
+        scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=1024)
     elif which == "glass":
         scene = procedural.glass_scene().with_mt()
     else:

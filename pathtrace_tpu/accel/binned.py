@@ -599,7 +599,14 @@ def build_pair_dispatch_v3(clusters: ClusterArrays, hit_m, block_pairs: int,
     r0, m = hit_m.shape
     b = block_pairs
     if cap_budget is None:
-        cap_budget = 6 * r0 + m * b
+        # Measured on the blob82k production mix (camera / bounce / NEE
+        # shadow batches at 65k lanes): real padded totals are 151-179k
+        # slots (mean membership ~2.0-2.4), so 3.5R gives a ~1.3x margin
+        # while halving every cap-sized op vs the 6.7R worst-case budget
+        # (the scatter-min reduce alone was 38% of the bounce at 6.7R).
+        # Batches that overflow the budget mark exactly the affected rays
+        # for the capacity-bounded repair - correct at any budget.
+        cap_budget = (7 * r0) // 2 + m * b
     cap = (cap_budget // b) * b
     r = -(-r0 // _PANEL) * _PANEL
     if r != r0:
@@ -711,7 +718,9 @@ def raycast_binned_pallas_v3(scene, org, dirn, t_min=0.0, t_max=None, *,
         t_max = BIG_T
     r = org.shape[0]
     c_cap = pack.cluster_cap
-    b = min(c_cap, 128)
+    b = min(c_cap, 128)  # 256-pair blocks measured SLOWER (21.5 vs
+    # 19.4 ms/bounce): the wider tile+pair pipeline loses more to VMEM
+    # double-buffering than it saves in grid steps
     # the kernel emits ORIGINAL tri ids (pack attr row 9), so duplicate
     # copies of one triangle carry identical keys and the dup gather is
     # free; the key budget is set by the original tri count
@@ -732,22 +741,22 @@ def raycast_binned_pallas_v3(scene, org, dirn, t_min=0.0, t_max=None, *,
 
     # ONE per-ray row table [feats(16) | tmin | tmax], ONE (cap, 18)
     # row gather (v2 built meta from separate (cap,)-wide 1-element
-    # gathers - traced at ~3 ms each; 64B+ rows amortize the per-row cost)
+    # gathers - traced at ~3 ms each; 64B+ rows amortize the per-row
+    # cost). Dead slots get ZERO rows: zero features make every product
+    # zero, so the kernel's det >= EPS rejects them with no live mask.
     feats = ray_features(org, dirn)
     table = jnp.concatenate([feats, tmin_arr[:, None], tmax_arr[:, None]],
                             axis=1)
-    g = table[slot_ray]                                  # (cap, 18)
+    g = jnp.where(live[:, None], table[slot_ray], 0.0)   # (cap, 18)
     feats_t = g[:, :16].T
     zero = jnp.zeros((cap,), jnp.float32)
-    meta = jnp.stack([
-        jnp.where(live, 1.0, -1.0), g[:, 16], g[:, 17],
-        jnp.full((cap,), -1.0, jnp.float32),
-        zero, zero, zero, zero], axis=0)
+    meta = jnp.stack([g[:, 16], g[:, 17], zero, zero,
+                      zero, zero, zero, zero], axis=0)
 
     out = pair_blocks_search(pack, disp["block_cluster"],
                              disp["block_prim_start"],
                              feats_t, meta, c_cap=c_cap, block_pairs=b,
-                             mode=mode, interpret=interpret)
+                             mode=mode, interpret=interpret, lean=True)
 
     # packed scatter-min: key = [5-bit rebased exp | mant | dup gid]
     t_row = out[0]
@@ -844,7 +853,12 @@ def shadow_binned_v3(scene, org, dirn, t_min, t_max):
     return hit, gid, jnp.zeros_like(hit)
 
 
-REPAIR_CAP = 512
+# v3's only overflow class is global slot-budget truncation, which marks
+# every ray of a truncated cluster - potentially thousands at once - so
+# the repair capacity is sized for that burst (the cond fires only on
+# overflow batches; the v2 k_max-overflow class that fired it every call
+# is gone).
+REPAIR_CAP = 4096
 
 
 def _overflow_repair(scene, res, overflow, org_d, dirn_d, tmin_d, tmax_d):

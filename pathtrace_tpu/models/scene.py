@@ -332,7 +332,7 @@ class Scene:
         pack = build_pair_pack(clusters, positions)
         return dataclasses.replace(scene, clusters=clusters, pair_pack=pack)
 
-    def with_kd_binned(self, max_tris: int = 512) -> "Scene":
+    def with_kd_binned(self, max_tris: int = 1024) -> "Scene":
         """Non-overlapping KD spatial cells for the pair-block traversal
         (accel/kdgrid.py) - bounded per-ray cluster membership even for
         rays starting on dense surfaces, where BVH-subtree AABBs stack.

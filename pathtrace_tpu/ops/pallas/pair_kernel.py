@@ -141,11 +141,17 @@ def _cross3r(a, b):
 
 def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
                  ah_ref, am_ref, al_ref, out_ref, *,
-                 c_cap, mode):
+                 c_cap, mode, lean=False):
     """One pair-block: search cluster bc[i] for B pairs.
 
-    meta rows: 0 slot-live flag (< 0 marks a dead slot), 1 tmin, 2 tmax,
-    3 excluded member-space tri id (-1 none).
+    meta rows (lean=False): 0 slot-live flag (< 0 marks a dead slot),
+    1 tmin, 2 tmax, 3 excluded member-space tri id (-1 none).
+    meta rows (lean=True, the v3 dispatch): 0 tmin, 1 tmax - dead slots
+    carry ZERO feature columns instead of a live flag (zero features
+    make every product zero, so det < EPS rejects them for free), the
+    exclusion test is dropped (no caller passes one; NEE identity-tests
+    the winner instead), and the t-range band tests are det-multiplied
+    so the only per-element division left is the winner ordering.
     out rows: 0 t, 1 u, 2 v, 3 hit, 4 emitted tri id (attr row 9: the
     pack builder's global_ids - ORIGINAL ids for KD scenes; f32, < 2^24).
 
@@ -170,22 +176,37 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
         u_num = prods[2 * c_cap:3 * c_cap]
         v_num = prods[3 * c_cap:4 * c_cap]
 
-        live = meta_ref[0:1] >= 0.0
-        tmin = meta_ref[1:2]
-        tmax = meta_ref[2:3]
-        excl = meta_ref[3:4]
-
         sl = ACCEPT_SLACK
-        t = t_num / jnp.maximum(det, 1e-30)
-        band = sl * (1.0 + jnp.abs(t))
-        valid = (det >= EPS) & live
-        valid &= (t >= tmin - band) & (t <= tmax + band)
-        valid &= (u_num >= -sl * det) & (u_num <= det * (1.0 + sl))
-        valid &= (v_num >= -sl * det) & (u_num + v_num <= det * (1.0 + 2 * sl))
-
         tri_local = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
-        gid = (tri_local + prim_start).astype(jnp.float32)
-        valid &= gid != excl          # NEE light-identity exclusion
+        t = t_num / jnp.maximum(det, 1e-30)
+        if lean:
+            tmin = meta_ref[0:1]
+            tmax = meta_ref[1:2]
+            # det-multiplied band tests (valid only matters where
+            # det >= EPS > 0, so the multiply preserves the inequality):
+            # t >= tmin - sl(1+|t|)  <=>  t_num + sl|t_num| >= det(tmin-sl)
+            # t <= tmax + sl(1+|t|)  <=>  t_num - sl|t_num| <= det(tmax+sl)
+            ab = sl * jnp.abs(t_num)
+            valid = (det >= EPS)
+            valid &= (t_num + ab >= det * (tmin - sl))
+            valid &= (t_num - ab <= det * (tmax + sl))
+            # u <= det is implied by v >= 0 & u+v <= det (within slack)
+            valid &= (u_num >= -sl * det)
+            valid &= (v_num >= -sl * det)
+            valid &= (u_num + v_num <= det * (1.0 + 2 * sl))
+        else:
+            live = meta_ref[0:1] >= 0.0
+            tmin = meta_ref[1:2]
+            tmax = meta_ref[2:3]
+            excl = meta_ref[3:4]
+            band = sl * (1.0 + jnp.abs(t))
+            valid = (det >= EPS) & live
+            valid &= (t >= tmin - band) & (t <= tmax + band)
+            valid &= (u_num >= -sl * det) & (u_num <= det * (1.0 + sl))
+            valid &= ((v_num >= -sl * det)
+                      & (u_num + v_num <= det * (1.0 + 2 * sl)))
+            gid = (tri_local + prim_start).astype(jnp.float32)
+            valid &= gid != excl      # NEE light-identity exclusion
 
         t_masked = jnp.where(valid, t, BIG)
         best = jnp.min(t_masked, axis=0, keepdims=True)   # (1, B)
@@ -193,27 +214,22 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
                       axis=0, keepdims=True)
         arg = jnp.minimum(arg, c_cap - 1)
         hit = best < BIG
-
         zero = jnp.zeros_like(best)
-        oh = (tri_local == arg).astype(jnp.bfloat16)      # (C, B)
-        id_win = (jnp.dot(ah_ref[0, 9:10], oh,
-                          preferred_element_type=jnp.float32)
-                  + jnp.dot(am_ref[0, 9:10], oh,
+
+        def exact_at(argk):
+            """Exact MT + emitted id at one candidate per pair (row ops
+            on (1, B); only the one-hot build touches (C, B))."""
+            ohk = (tri_local == argk).astype(jnp.bfloat16)
+            rows = jnp.dot(ah_ref[0], ohk,
+                           preferred_element_type=jnp.float32)
+            rows += jnp.dot(am_ref[0], ohk,
                             preferred_element_type=jnp.float32)
-                  + jnp.dot(al_ref[0, 9:10], oh,
-                            preferred_element_type=jnp.float32))  # (1, B)
-        if mode == "shadow":
-            t_out = jnp.where(hit, best, BIG)
-            u_out = zero
-            v_out = zero
-        else:
-            # exact recompute at the banded winner (gates slack accepts)
-            rows = jnp.dot(ah_ref[0], oh, preferred_element_type=jnp.float32)
-            rows += jnp.dot(am_ref[0], oh, preferred_element_type=jnp.float32)
-            rows += jnp.dot(al_ref[0], oh, preferred_element_type=jnp.float32)
+            rows += jnp.dot(al_ref[0], ohk,
+                            preferred_element_type=jnp.float32)
             v0 = rows[0:3]
             e1 = rows[3:6]
             e2 = rows[6:9]
+            idk = rows[9:10]
             org = feats[1:4]
             dirn = feats[4:7]
             tvec = org - v0
@@ -228,10 +244,42 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
             ok &= (t_x >= tmin) & (t_x <= tmax)
             ok &= (u_x >= 0.0) & (u_x <= det_x)
             ok &= (v_x >= 0.0) & (u_x + v_x <= det_x)
-            hit = hit & ok
-            t_out = jnp.where(hit, t_x, BIG)
-            u_out = jnp.where(hit, u_x * inv_det, 0.0)
-            v_out = jnp.where(hit, v_x * inv_det, 0.0)
+            return ok, t_x, u_x * inv_det, v_x * inv_det, idk
+
+        if mode == "shadow":
+            oh = (tri_local == arg).astype(jnp.bfloat16)
+            id_win = (jnp.dot(ah_ref[0, 9:10], oh,
+                              preferred_element_type=jnp.float32)
+                      + jnp.dot(am_ref[0, 9:10], oh,
+                                preferred_element_type=jnp.float32)
+                      + jnp.dot(al_ref[0, 9:10], oh,
+                                preferred_element_type=jnp.float32))
+            t_out = jnp.where(hit, best, BIG)
+            u_out = zero
+            v_out = zero
+        else:
+            # TOP-2 exact recompute: the banded accept can select a
+            # near-edge candidate whose exact test misses while the true
+            # hit is the runner-up (edge-adjacent triangles share a cell
+            # and tie in banded t), and the banded ordering can misorder
+            # true near-ties. Recomputing the two best candidates
+            # exactly and choosing by exact (ok, t) closes both classes;
+            # the recompute itself is (1, B)-row work.
+            ok1, t1, u1, v1, id1 = exact_at(arg)
+            ok1 &= hit
+            tm2 = jnp.where(tri_local == arg, BIG, t_masked)
+            best2 = jnp.min(tm2, axis=0, keepdims=True)
+            arg2 = jnp.min(jnp.where(tm2 <= best2, tri_local, c_cap),
+                           axis=0, keepdims=True)
+            arg2 = jnp.minimum(arg2, c_cap - 1)
+            ok2, t2, u2, v2, id2 = exact_at(arg2)
+            ok2 &= best2 < BIG
+            use2 = ok2 & (~ok1 | (t2 < t1))
+            hit = ok1 | ok2
+            t_out = jnp.where(use2, t2, jnp.where(ok1, t1, BIG))
+            u_out = jnp.where(use2, u2, jnp.where(ok1, u1, 0.0))
+            v_out = jnp.where(use2, v2, jnp.where(ok1, v1, 0.0))
+            id_win = jnp.where(use2, id2, id1)
 
         out_ref[0:1] = t_out
         out_ref[1:2] = u_out
@@ -246,10 +294,10 @@ def _pair_kernel(bc_ref, bps_ref, f_ref, meta_ref, m_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("c_cap", "block_pairs", "mode",
-                                             "interpret"))
+                                             "interpret", "lean"))
 def pair_blocks_search(pack: PairPack, block_cluster, block_prim_start,
                        feats_t, meta, *, c_cap, block_pairs=256,
-                       mode="closest", interpret=False):
+                       mode="closest", interpret=False, lean=False):
     """Run the pair-block search over all blocks.
 
     block_cluster/block_prim_start: (nb,) i32 (cluster id, its prim base).
@@ -286,7 +334,8 @@ def pair_blocks_search(pack: PairPack, block_cluster, block_prim_start,
         out_specs=pl.BlockSpec((8, b), lambda i, bc, bps: (0, i),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_pair_kernel, c_cap=c_cap, mode=mode)
+    kernel = functools.partial(_pair_kernel, c_cap=c_cap, mode=mode,
+                               lean=lean)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

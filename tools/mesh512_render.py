@@ -21,7 +21,7 @@ from pathtrace_tpu.io.image import write_png
 from pathtrace_tpu.utils import rng
 
 t0 = time.time()
-scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=512).to_device()
+scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=1024).to_device()
 cam = procedural.default_camera(512, 512)
 cfg = IntegratorConfig()
 key = rng.make_key(0)

@@ -78,6 +78,19 @@ cam24 = procedural.default_camera(24, 24)
 compare("tpu-megakernel-glass", render(glass, cam24, 8, rng.make_key(7)),
         "glass_24x24_8spp_seed7.npy", min_agree=0.97, max_mean_rel=5e-3)
 
+# mesh row: the production KD pair-block path (wavefront + v3 dispatch +
+# bf16-split Pallas kernel) vs a CPU golden rendered with the exact
+# MT-matmul megakernel (KD-free backend). This is the most bf16-exposed
+# surface in the repo - round 4's silently-4x-dark NEE bug was caught by
+# exactly this artifact class. Near-exact contract: per-path streams are
+# scheduler-independent and the KD winner matches brute exactly on CPU,
+# so only cross-compilation float noise remains.
+blob = procedural.blob_mesh_scene().with_kd_binned().to_device()
+cam48 = procedural.default_camera(48, 48)
+compare("tpu-wavefront-kd-mesh",
+        render_wavefront(blob, cam48, 4, rng.make_key(11), lanes=2304),
+        "blob82k_48x48_4spp_seed11.npy", min_agree=0.995)
+
 out = {"device": dev, "results": results,
        "pass": all(r["ok"] for r in results)}
 os.makedirs("docs", exist_ok=True)
