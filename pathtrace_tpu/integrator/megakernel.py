@@ -100,6 +100,16 @@ def default_shadow_raycast(scene: Scene):
     return shadow_brute
 
 
+def nee_light_pick(scene: Scene, draws: jnp.ndarray):
+    """(light_slot, light_tri) for this bounce's NEE draw - a pure
+    function of the counter-based draws, shared by nee_contribution, the
+    wavefront tape recorder and the replay shadow reconstruction
+    (diff/wavetape.py) so the pick logic lives in exactly one place."""
+    light_slot = rng.randint_from_uniform(draws[:, rng.COL_LIGHT_PICK],
+                                          scene.num_lights)
+    return light_slot, math3.gather_rows(scene.lights, light_slot)
+
+
 def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
                      wo: jnp.ndarray, draws: jnp.ndarray,
                      shadow_fn, cfg: IntegratorConfig) -> jnp.ndarray:
@@ -111,7 +121,7 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     brdfcos * Llight * cosA / (dist^2 * pdfLight), pdfLight = (1/area)/Nl.
     """
     nl = scene.num_lights
-    light_slot = rng.randint_from_uniform(draws[:, rng.COL_LIGHT_PICK], nl)
+    light_slot, light_tri = nee_light_pick(scene, draws)
     # Per-light geometry from the packed (L, 13) table (Scene.build): one
     # tiny (R, L) gather replaces five one-hot matmuls over the (T,)
     # triangle arrays (each materialized an (R, T_pad) product in HBM).
@@ -119,7 +129,6 @@ def nee_contribution(scene: Scene, hit: HitRecord, frame: ShadeFrame,
     v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     area = row[:, 9]
     light_normal = row[:, 10:13]
-    light_tri = math3.gather_rows(scene.lights, light_slot)
     # SamplePrimitive: r1 = sqrt(u), point = (1-r1)V0 + r1(1-r2)V1 + r1 r2 V2
     r1 = math3.safe_sqrt(draws[:, rng.COL_NEE_R1])[:, None]
     r2 = draws[:, rng.COL_NEE_R2][:, None]

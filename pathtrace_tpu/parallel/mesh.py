@@ -294,3 +294,52 @@ def train_step_replay_sharded(scene: Scene, camera: Camera, target, spp: int,
         out_specs=(P(), P(), P(RAY_AXIS)),
         check_vma=False)(scene, target_flat)
     return loss, grads, img.reshape(camera.height, camera.width, 3)
+
+
+def train_step_wavetape_sharded(scene: Scene, camera: Camera, target,
+                                spp: int, base_key, mesh: Mesh,
+                                cfg: IntegratorConfig = IntegratorConfig(),
+                                lanes: int = 65536, chunk: int = 65536):
+    """One distributed training step on the wavefront-taped backward
+    (diff/wavetape): L2 image loss, pixel-slice sharding, psum'd loss and
+    material grads.
+
+    Per chip: (1) ONE wavefront recording sweep over its pixel slice's
+    whole path pool (records + recorded-primal film in the same pass),
+    (2) L2 cotangent 2*(film - target) from the recorded primal
+    (== replay primal to XLA fusion reassociation), (3) length-bucketed
+    chunked replay VJPs. RNG/camera rays keyed by GLOBAL path ids, so
+    the N-chip step is path-for-path identical to 1-chip.
+    Returns (loss, (tri_mat_grads, sphere_mat_grads), full image).
+    Not jitted here (meshes don't hash into a stable jit key across
+    sizes); wrap the call in jax.jit with mesh/spp/cfg closed over for
+    repeated stepping, as tools/gradcheck_tpu.py does.
+    """
+    from pathtrace_tpu.diff.wavetape import wavetape_grads_core
+
+    num_pix = camera.width * camera.height
+    n_dev = mesh.devices.size
+    assert num_pix % n_dev == 0, (num_pix, n_dev)
+    np_local = num_pix // n_dev
+    target_flat = target.reshape(num_pix, 3)
+
+    def local_step(sc, tgt):
+        i = jax.lax.axis_index(RAY_AXIS)
+        pix0 = i * np_local
+
+        # ONE recording pass: the L2 cotangent comes from the recorded
+        # primal film via ct_fn (== replay primal to fusion noise)
+        g_tri, g_sph, film, _ = wavetape_grads_core(
+            sc, camera, spp, base_key, cfg, None, lanes, chunk,
+            pix_offset=pix0, num_pix_local=np_local,
+            num_pix_total=num_pix, ct_fn=lambda f0: 2.0 * (f0 - tgt))
+        loss = jax.lax.psum(jnp.sum((film - tgt) ** 2), RAY_AXIS)
+        grads = jax.lax.psum((g_tri, g_sph), RAY_AXIS)
+        return loss, grads, film
+
+    loss, grads, img = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS)),
+        out_specs=(P(), P(), P(RAY_AXIS)),
+        check_vma=False)(scene, target_flat)
+    return loss, grads, img.reshape(camera.height, camera.width, 3)

@@ -11,12 +11,16 @@ pins the estimator; this tool pins the TPU-COMPILED programs:
      any TPU-side compile flips at once);
   2. TPU reverse-mode vs forward-mode (JVP) agreement on a probe
      direction (the exact check that caught the r3 bug);
-  3. wall-time of the production distributed training step
-     (train_step_replay_sharded, 1-chip mesh) at 128x128 @ 64 spp;
+  3. wall-time of the production distributed training steps at
+     128x128 @ 64 spp: the r4 per-sample replay step
+     (train_step_replay_sharded) and the r5 wavefront-taped step
+     (train_step_wavetape_sharded);
   4. record-tape bytes/lane from XLA's memory analysis of the
-     TPU-compiled programs.
+     TPU-compiled programs;
+  5. mesh-scene gradients (blob82k through the KD v3 backend):
+     wavetape-replay vs scan-AD agreement on TPU.
 
-Writes gradcheck_tpu_r04.json.  One TPU process at a time.
+Writes gradcheck_tpu_r05.json.  One TPU process at a time.
 """
 import json
 import os
@@ -36,7 +40,8 @@ from pathtrace_tpu.diff import material_grads, material_grads_replay
 from pathtrace_tpu.integrator.config import IntegratorConfig
 from pathtrace_tpu.models import procedural
 from pathtrace_tpu.parallel.mesh import (make_ray_mesh,
-                                         train_step_replay_sharded)
+                                         train_step_replay_sharded,
+                                         train_step_wavetape_sharded)
 from pathtrace_tpu.utils import rng
 from pathtrace_tpu.utils.pytree import replace
 
@@ -129,7 +134,26 @@ out["train_step_replay"] = {
     "steps_per_sec": round(1.0 / dt, 4),
     "paths_per_sec": round(128 * 128 * 64 / dt, 1),
 }
-print("train step:", out["train_step_replay"], flush=True)
+print("train step (replay r4):", out["train_step_replay"], flush=True)
+
+# --- 3b. the r5 wavefront-taped production step
+step_wt = jax.jit(lambda s, t, k: train_step_wavetape_sharded(
+    s, cam128, t, 64, k, mesh1, cfg, 65536, 65536))
+loss, grads, img = step_wt(scene, target, key)
+jax.block_until_ready(loss)
+t1 = time.perf_counter()
+for _ in range(N):
+    loss, grads, img = step_wt(scene, target, key)
+jax.block_until_ready(loss)
+dtw = (time.perf_counter() - t1) / N
+out["train_step_wavetape"] = {
+    "resolution": [128, 128], "spp": 64,
+    "seconds_per_step": round(dtw, 3),
+    "steps_per_sec": round(1.0 / dtw, 4),
+    "paths_per_sec": round(128 * 128 * 64 / dtw, 1),
+    "speedup_vs_replay_step": round(dt / dtw, 2),
+}
+print("train step (wavetape r5):", out["train_step_wavetape"], flush=True)
 
 # --- 4. tape memory from XLA analysis (TPU-compiled)
 from pathtrace_tpu.diff.replay import record_paths
@@ -155,9 +179,34 @@ out["record_tape"] = {
 }
 print("tape:", out["record_tape"], flush=True)
 
+# --- 5. mesh-scene gradients: blob82k via the KD v3 backend on TPU
+from pathtrace_tpu.diff import material_grads
+from pathtrace_tpu.diff.wavetape import material_grads_wavetape
+
+blob = procedural.blob_mesh_scene().with_kd_binned().to_device()
+cam32 = procedural.default_camera(32, 32)
+kb = rng.make_key(5)
+gm_tri_w, _, img_w = material_grads_wavetape(blob, cam32, 4, kb, cfg,
+                                             lanes=4096, chunk=4096)
+gm_tri_s, _, img_s = material_grads(blob, cam32, 4, kb, cfg=cfg)
+jax.block_until_ready((gm_tri_w, gm_tri_s))
+errs_mesh = {f: rel_err(getattr(gm_tri_w, f), getattr(gm_tri_s, f))
+             for f in fields}
+out["mesh_grads"] = {
+    "scene": "blob82k (81934 tris, KD pair-block v3 backend)",
+    "resolution": [32, 32], "spp": 4,
+    "wavetape_vs_scan_ad_max_rel_err": errs_mesh,
+    "primal_max_abs_diff": float(np.abs(np.asarray(img_w)
+                                        - np.asarray(img_s)).max()),
+    "pass": all(e < 1e-3 for e in errs_mesh.values()),
+}
+print("mesh grads:", out["mesh_grads"]["pass"],
+      max(errs_mesh.values()), flush=True)
+
 out["wall_seconds_total"] = round(time.time() - t0, 1)
 out["pass"] = bool(out["replay_vs_scan_ad"]["pass"]
-                   and out["forward_vs_reverse"]["pass"])
-with open("gradcheck_tpu_r04.json", "w") as f:
+                   and out["forward_vs_reverse"]["pass"]
+                   and out["mesh_grads"]["pass"])
+with open("gradcheck_tpu_r05.json", "w") as f:
     json.dump(out, f, indent=2)
 print(json.dumps({"pass": out["pass"]}), flush=True)

@@ -40,7 +40,7 @@ write_png("docs/mesh512_render.png", np.asarray(img))
 out = {
     "scene": "blob82k (assets/blob82k.obj, 81934 tris) + room",
     "resolution": [512, 512], "spp": 256,
-    "engine": "wavefront + KD-cell Pallas pair-block traversal (C=512)",
+    "engine": "wavefront + KD-cell Pallas pair-block traversal (C=1024)",
     "wall_seconds": round(dt, 1),
     "paths": paths,
     "paths_per_sec": round(paths / dt, 1),
