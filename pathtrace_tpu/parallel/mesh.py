@@ -105,9 +105,13 @@ def render_grad_sharded(scene: Scene, camera: Camera, target: jnp.ndarray,
 
     Returns (loss, (tri_mat_grads, sphere_mat_grads)). Inside shard_map each
     chip differentiates its local L2 tile loss w.r.t. the replicated
-    material pytree, then grads and loss are `psum`ed over ICI - XLA
-    schedules the all-reduce to overlap with the backward shade where
-    possible (async collectives). This is the renderer analog of
+    material pytree, then grads and loss are `psum`ed over ICI. The
+    compiled program coalesces every psum into ONE tuple all-reduce
+    (verified in HLO, tools/hlo_collectives.py); whether the TPU
+    scheduler additionally overlaps it with compute is immaterial at
+    these payloads - the gradient pytree is ~4 MB even at blob82k scale,
+    an ICI-time bound of <0.02% of the measured step
+    (docs/collective_overlap.json). This is the renderer analog of
     data-parallel training with replicated parameters.
     """
     num_pix = camera.width * camera.height
