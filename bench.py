@@ -36,7 +36,11 @@ def main():
     w = int(os.environ.get("BENCH_W", 256))
     h = int(os.environ.get("BENCH_H", 256))
     spp = int(os.environ.get("BENCH_SPP", 1024))
-    lanes = int(os.environ.get("BENCH_LANES", 65536))
+    default_lanes = 49152 if os.environ.get("BENCH_SCENE") == "mesh" else 65536
+    # mesh: 49152 measured 974k vs 853k paths/s at 65536 - the
+    # power-of-2 lane count is a pathological point for the dispatch's
+    # scatter/gather strides, and any size in 40-57k lands ~970k
+    lanes = int(os.environ.get("BENCH_LANES", default_lanes))
     which = os.environ.get("BENCH_SCENE", "cornell")
 
     if which == "mesh":

@@ -601,12 +601,12 @@ def build_pair_dispatch_v3(clusters: ClusterArrays, hit_m, block_pairs: int,
     if cap_budget is None:
         # Measured on the blob82k production mix (camera / bounce / NEE
         # shadow batches at 65k lanes): real padded totals are 151-179k
-        # slots (mean membership ~2.0-2.4), so 3.5R gives a ~1.3x margin
+        # slots (mean membership ~2.0-2.4, max 2.73R), so 3R+M*b gives a ~1.15x margin
         # while halving every cap-sized op vs the 6.7R worst-case budget
         # (the scatter-min reduce alone was 38% of the bounce at 6.7R).
         # Batches that overflow the budget mark exactly the affected rays
         # for the capacity-bounded repair - correct at any budget.
-        cap_budget = (7 * r0) // 2 + m * b
+        cap_budget = (11 * r0) // 4 + m * b
     cap = (cap_budget // b) * b
     r = -(-r0 // _PANEL) * _PANEL
     if r != r0:

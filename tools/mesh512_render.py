@@ -26,11 +26,11 @@ cam = procedural.default_camera(512, 512)
 cfg = IntegratorConfig()
 key = rng.make_key(0)
 print(f"[{time.time()-t0:.1f}s] scene ready", flush=True)
-img, _ = render_wavefront_chunked(scene, cam, 4, key, cfg, 65536, chunk_spp=4)
+img, _ = render_wavefront_chunked(scene, cam, 4, key, cfg, 49152, chunk_spp=4)
 jax.block_until_ready(img)
 print(f"[{time.time()-t0:.1f}s] compiled", flush=True)
 t1 = time.time()
-img, nrays = render_wavefront_chunked(scene, cam, 256, key, cfg, 65536,
+img, nrays = render_wavefront_chunked(scene, cam, 256, key, cfg, 49152,
                                       chunk_spp=32)
 jax.block_until_ready(img)
 dt = time.time() - t1

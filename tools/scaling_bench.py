@@ -8,13 +8,14 @@ an actual slice:
 
   - WEAK scaling (default): per-chip work is FIXED (each chip owns the
     same pixel slice size and lane pool; the image grows with n).
-    Perfect scaling = flat per-chip wall time, so even on the fake
-    8-device CPU mesh the number measures the sharding overhead
-    (collective cost + program differences) rather than host contention
-    over a fixed work pool - a strong-scaling CPU sweep divides the
-    same FLOPs over one socket and reports contention, not ICI
-    (the round-4 artifact's 0.64/0.33/0.19 "efficiency" was exactly
-    that artifact; VERDICT r4 weak #7).
+    Perfect scaling on real hardware = flat per-chip wall time. On the
+    fake CPU mesh the devices share one socket, so total compute still
+    grows with n and per-chip time degrades ~linearly regardless of
+    sharding quality - the CPU run validates the HARNESS, not the
+    metric (the round-4 strong-scaling artifact's 0.64/0.33/0.19
+    "efficiency" was the same host-contention artifact; VERDICT r4
+    weak #7). The single-host ICI evidence lives in
+    tools/hlo_collectives.py / docs/collective_overlap.json instead.
   - STRONG scaling (SCALE_MODE=strong): fixed total work split n ways -
     meaningful only on real multi-chip hardware.
 
