@@ -97,8 +97,11 @@ def main():
     img, _ = run(4, 4)
     img.block_until_ready()
     # best-of-N: the remote-TPU tunnel adds +-2% run-to-run dispatch
-    # noise on a ~1.3 s measurement; min over repeats reports the
-    # device's actual throughput (the timed program is identical)
+    # noise WITHIN a process on a ~1.3 s measurement, and up to +-5-7%
+    # ACROSS processes (interleaved same-code A/B runs in round 5
+    # measured 0.93-1.00x on identical binaries; slow streaks span whole
+    # processes). min over repeats reports the device's throughput for
+    # THIS process; cross-process comparisons need interleaved A/B runs.
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
     dt = float("inf")
     for _ in range(repeats):

@@ -26,18 +26,21 @@ to brute force against the full scene for correctness (mask-mixed in, no
 recompilation; the cap violation rate is ~0 for reasonable K and is
 asserted in tests).
 
-Two generations live here:
+Three generations live here:
 
 - v1 (raycast_binned / raycast_binned_closest): XLA-only, BVH-subtree
   clusters, sorted-key dispatch + einsum group loop. Kept as a tested
-  reference backend.
-- v2 (raycast_binned_v2 / shadow_binned_v2, the PRODUCTION mesh path):
-  the Pallas pair-block kernel (ops/pallas/pair_kernel.py) over
-  non-overlapping KD cells (accel/kdgrid.py), driven by the sort-free
-  dispatch in build_pair_dispatch and a dense (R, K) gather-back reduce,
-  with a capacity-bounded overflow repair instead of the full-scene
-  fallback. See build_pair_dispatch's docstring for the measured
-  rationale behind each choice.
+  reference backend, and the routed backend for with_binned() scenes
+  (BVH-subtree clusters overlap too much for the pair dispatch).
+- v2 (raycast_binned_v2 / shadow_binned_v2): the round-4 Pallas
+  pair-block kernel path - sort-free (R, K) peel dispatch + dense
+  gather-back reduce + k_max overflow repair. Kept as the tested
+  stepping stone; see build_pair_dispatch's docstring.
+- v3 (raycast_binned_v3 / shadow_binned_v3, the PRODUCTION mesh path):
+  peel-free, scatter-free dispatch (arithmetic slot inversion over
+  per-panel popcount prefixes), no k_max at all, ONE packed scatter-min
+  reduce, and a one-gather shading tail. 229.5k -> 1.02M paths/s on
+  blob82k across rounds 4 -> 5; see build_pair_dispatch_v3.
 """
 
 from __future__ import annotations
@@ -407,7 +410,10 @@ def build_pair_dispatch(clusters: ClusterArrays, hit_m, tnear, k_max: int,
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(padded)[:-1]])  # (m,)
 
-    # --- packed peel: (cluster, slot) per pass in one reduce
+    # --- packed peel: (cluster, slot) per pass in one reduce.
+    # The peel key packs the cluster id into bits 20+ of an int32, so
+    # the sentinel (m << 20) must stay inside int32 (ADVICE r4 #3).
+    assert m < 2048, f"v2 packed peel limited to <2048 clusters, got {m}"
     slot_dense = offsets[None, :] + colrank - 1      # (R, M)
     cols = jax.lax.broadcasted_iota(jnp.int32, hit_m.shape, 1)
     pack = (cols << 20) | jnp.minimum(slot_dense, (1 << 20) - 1)
@@ -458,7 +464,10 @@ def raycast_binned_pallas(scene, org, dirn, t_min=0.0, t_max=None, *,
     t_min/t_max may be python scalars (preferred: the meta rows become
     broadcast constants instead of per-pair gathers) or (R,) arrays.
     mode="shadow" skips the in-kernel exact recompute; `exclude_gid`
-    (R,) i32 masks one global tri per ray.
+    (R,) i32 masks one tri per ray IN MEMBER-SLOT SPACE (prim_start +
+    local, i.e. DUPLICATED space for KD scenes - an original id would
+    silently match nothing; ADVICE r4 #4). No production caller passes
+    it (NEE identity-tests the winner instead); kept for experiments.
     """
     from pathtrace_tpu.accel.traverse import safe_inv_dir
     from pathtrace_tpu.ops.intersect import BIG_T
@@ -912,7 +921,11 @@ def raycast_binned_v2(scene, org, dirn, t_min=None, t_max=None,
     """Drop-in raycast (HitRecord) through the Pallas pair-block kernel.
 
     Bounded overflow repair + the differentiable-recompute tail of
-    raycast_binned."""
+    raycast_binned. NOTE (ADVICE r4 #2): traversal always runs the
+    [0, BIG_T) band - a caller passing t_min > 0 gets triangle hits
+    below t_min that brute would reject. Every caller passes the
+    defaults; the v3 path (raycast_binned_v3) threads real bounds
+    through both the cell cull and the in-kernel accepts."""
     from pathtrace_tpu.ops.intersect import BIG_T, finalize_hit, mt_gather
 
     org_d = jax.lax.stop_gradient(org)

@@ -12,7 +12,12 @@ This module replaces the cut with a KD median-split partition of SPACE:
   - cells are axis-aligned, non-overlapping, and tile the scene bounds,
     so any point lies in exactly ONE cell and a ray's cluster set is the
     set of cells its segment crosses - bounded by the cell grid's
-    resolution, independent of surface density;
+    resolution, independent of surface density. Exception (ADVICE r4
+    #5): a no-progress leaf (every member spans the cut) is chunked
+    into multiple cells SHARING one box, so such a point can lie in
+    several same-box cells; closest-hit stays exact via the min-dedup,
+    but per-ray crossing counts then over-count by the chunk factor
+    (none of the committed assets trigger chunking);
   - each triangle is listed in EVERY cell its AABB overlaps (membership
     by duplication, conservative AABB test). Closest-hit over the padded
     per-cell lists is exact: a hit found from a neighboring cell's copy
