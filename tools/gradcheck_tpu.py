@@ -138,13 +138,14 @@ print("train step (replay r4):", out["train_step_replay"], flush=True)
 
 # --- 3b. the r5 wavefront-taped production step
 step_wt = jax.jit(lambda s, t, k: train_step_wavetape_sharded(
-    s, cam128, t, 64, k, mesh1, cfg, 65536, 65536))
-loss, grads, img = step_wt(scene, target, key)
-jax.block_until_ready(loss)
+    s, cam128, t, 64, k, mesh1, cfg, 16384, 32768))
+out_wt = step_wt(scene, target, key)
+jax.block_until_ready(out_wt)
 t1 = time.perf_counter()
-for _ in range(N):
-    loss, grads, img = step_wt(scene, target, key)
-jax.block_until_ready(loss)
+for i in range(N):
+    # fresh key per call: defeats any same-args fast-path artifact
+    out_wt = step_wt(scene, target, rng.make_key(100 + i))
+jax.block_until_ready(out_wt)
 dtw = (time.perf_counter() - t1) / N
 out["train_step_wavetape"] = {
     "resolution": [128, 128], "spp": 64,
