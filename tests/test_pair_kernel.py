@@ -160,3 +160,47 @@ def test_pair_dispatch_structure(scene):
     assert (slot_of[rr, kk] < cap).all()
     assert (slot_ray[slot_of[rr, kk]] == rr).all()
     assert pv.sum() == n_pairs_mask
+
+
+def test_raycast_binned_v3_hitrecord_packed_tail():
+    """v3 over KD cells + the one-gather packed shading tail
+    (finalize_hit_packed): every HitRecord field matches the brute
+    raycast's generic finalize on a tri-only KD scene."""
+    scene = procedural.sphere_mesh_scene(subdivisions=4).with_kd_binned(
+        max_tris=128)
+    assert scene.geom_pack is not None and scene.num_spheres == 0
+    org, d = _rays(256, 6)
+    a = raycast_brute(scene, org, d)
+    with jax.disable_jit():  # interpret-mode pallas inside jit is slow
+        h = _v3_interpret(scene, org, d)
+    agree = np.asarray(a.hit) == np.asarray(h.hit)
+    assert agree.mean() > 0.995
+    both = np.asarray(a.hit) & np.asarray(h.hit) & agree
+    for field, tol in (("t", 1e-3), ("p", 1e-3), ("normal", 1e-4),
+                       ("tangent", 1e-4), ("bitangent", 1e-4),
+                       ("uv", 1e-5)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, field))[both],
+            np.asarray(getattr(h, field))[both], rtol=1e-4, atol=tol,
+            err_msg=field)
+    assert np.array_equal(np.asarray(a.prim_id)[both],
+                          np.asarray(h.prim_id)[both])
+    for f in ("emittance", "albedo", "specular", "opacity", "roughness",
+              "metallic"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a.mat, f))[both],
+            np.asarray(getattr(h.mat, f))[both], err_msg=f)
+
+
+def _v3_interpret(scene, org, d):
+    from unittest import mock
+    from pathtrace_tpu.ops.pallas import pair_kernel
+
+    orig = pair_kernel.pair_blocks_search
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    with mock.patch.object(pair_kernel, "pair_blocks_search", patched):
+        return binned.raycast_binned_v3(scene, org, d)
