@@ -780,9 +780,10 @@ def raycast_binned_pallas_v3(scene, org, dirn, t_min=0.0, t_max=None, *,
     key = jnp.where(hit_row & live, key, dead_key)
     # interleave the slot axis before scattering: slot order is ascending
     # within every cluster run (ranks follow ray id), and near-ascending
-    # scatters serialize on TPU (the probe history that shaped v2's
-    # "well-mixed" scatter). The min is order-independent, so a dense
+    # scatters serialize on TPU. The min is order-independent, so a dense
     # (nb, B) transpose relayout mixes consecutive updates across blocks.
+    # Measured: neutral at the fat 6.7R budget (element-bound there) but
+    # +3% end-to-end at the tight 2.75R budget (1.017M vs 0.987M).
     nb = cap // b
     key_x = key.reshape(nb, b).T.reshape(-1)
     ray_x = slot_ray.reshape(nb, b).T.reshape(-1)
