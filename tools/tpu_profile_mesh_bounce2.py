@@ -17,7 +17,7 @@ from pathtrace_tpu.integrator.megakernel import make_bounce_fn
 from pathtrace_tpu.integrator.config import IntegratorConfig
 from pathtrace_tpu.utils import rng as prng
 
-C = int(os.environ.get("MK_C", 512))
+C = int(os.environ.get("MK_C", 1024))
 scene = procedural.blob_mesh_scene().with_kd_binned(max_tris=C).to_device()
 r = int(os.environ.get("MK_R", 65536))
 g = np.random.default_rng(0)
