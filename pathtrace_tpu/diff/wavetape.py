@@ -51,7 +51,7 @@ from pathtrace_tpu.integrator.megakernel import (default_raycast,
                                                 nee_light_pick)
 from pathtrace_tpu.integrator.wavefront import _regen_rays
 from pathtrace_tpu.models.scene import Scene
-from pathtrace_tpu.diff.replay import _init_state, _replay_hit, replay_paths
+from pathtrace_tpu.diff.replay import _init_state, _replay_hit
 from pathtrace_tpu.utils import rng
 from pathtrace_tpu.utils.pytree import replace
 
