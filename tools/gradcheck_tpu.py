@@ -57,8 +57,14 @@ cfg = IntegratorConfig()
 key = rng.make_key(11)
 
 # --- 1. replay vs scan-AD grads, both on TPU
+from pathtrace_tpu.diff.grad import render_with_params as _rwp
+
 g_tri_r, g_sph_r, img_r = material_grads_replay(scene, cam, 8, key, cfg=cfg)
-g_tri_s, g_sph_s, img_s = material_grads(scene, cam, 8, key, cfg=cfg)
+g_tri_s, g_sph_s, _loss_s = material_grads(scene, cam, 8, key, cfg=cfg)
+# true image-vs-image primal pin (material_grads' 3rd return is the
+# SCALAR loss; r4's artifact compared the image against it elementwise,
+# a meaningless broadcast - the 2570.4 figure. Fixed in r5.)
+img_s = _rwp(scene, scene.mat, scene.spheres.mat, cam, 8, key, cfg)
 jax.block_until_ready((g_tri_r, g_tri_s))
 
 
@@ -189,7 +195,8 @@ cam32 = procedural.default_camera(32, 32)
 kb = rng.make_key(5)
 gm_tri_w, _, img_w = material_grads_wavetape(blob, cam32, 4, kb, cfg,
                                              lanes=4096, chunk=4096)
-gm_tri_s, _, img_s = material_grads(blob, cam32, 4, kb, cfg=cfg)
+gm_tri_s, _, _ = material_grads(blob, cam32, 4, kb, cfg=cfg)
+img_s = _rwp(blob, blob.mat, blob.spheres.mat, cam32, 4, kb, cfg)
 jax.block_until_ready((gm_tri_w, gm_tri_s))
 errs_mesh = {f: rel_err(getattr(gm_tri_w, f), getattr(gm_tri_s, f))
              for f in fields}
