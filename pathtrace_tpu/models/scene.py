@@ -346,8 +346,11 @@ class Scene:
         positions = np.stack(
             [np.asarray(scene.tris.v0), np.asarray(scene.tris.v1),
              np.asarray(scene.tris.v2)], axis=1)
+        # hybrid: midpoint cuts globally, a balanced final cut (better
+        # leaf fill, fewer cells: blob82k 187 -> 157); measured +2.6%
+        # end-to-end at the tuned production config
         clusters, dup_map, dup_positions = build_kd_clusters(
-            positions, max_tris=max_tris)
+            positions, max_tris=max_tris, rule="hybrid")
         clusters = dataclasses.replace(clusters,
                                        dup_map=jnp.asarray(dup_map))
         pack = build_pair_pack(clusters, dup_positions, global_ids=dup_map)
